@@ -1,0 +1,203 @@
+"""Conditional piecewise-bilinear 2D warp: eval / sample / invert.
+
+The building block of the Dupuy-Jakob measured-BSDF parameterization —
+the role Mitsuba's `Marginal2D<D>` warps play inside its `measured` plugin,
+which the reference drives through `mi.load_dict({'type': 'measured', ...})`
+(`/root/reference/learning_repo_cleanup/utils/mitsuba_brdf_scalar.py:75-89`).
+
+A distribution over the unit square is stored as vertex values of a
+bilinear interpolant on an (H, W) grid, one grid per conditioning-parameter
+slice (the 8 theta_i incidence angles of an RGL file). Sampling draws the
+y (row) coordinate from the marginal distribution, then x from the
+conditional row density; `invert` is the exact inverse map (needed by
+pdf/eval queries: given a half-vector, recover the unit-square sample the
+luminance/rgb tables are indexed by). CDFs are linear in the density, so
+linear interpolation of per-slice CDF tables across theta_i equals the CDF
+of the interpolated density — slices are blended with one weight, exactly
+like Mitsuba's param_weight machinery.
+
+TPU shape discipline: per-sample CDF rows are never materialized; cell
+lookups are log2(N)-step binary searches over gathered scalars, so a 1M-ray
+wavefront costs O(N log W) gathers instead of O(N·W) memory.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Warp2D(NamedTuple):
+    """Per-parameter-slice normalized bilinear densities + CDF tables.
+
+    density:  (P, H, W) vertex densities, trapezoid-integrating to 1
+    cond_cdf: (P, H, W) cumulative trapezoid along x (cond_cdf[..., 0] = 0)
+    marg_cdf: (P, H)    cumulative trapezoid along y of row integrals
+    params:   (P,)      conditioning values (theta_i), increasing
+    """
+
+    density: jnp.ndarray
+    cond_cdf: jnp.ndarray
+    marg_cdf: jnp.ndarray
+    params: jnp.ndarray
+
+    @property
+    def res(self) -> Tuple[int, int]:
+        return self.density.shape[-2], self.density.shape[-1]
+
+
+def build_warp2d(grids: np.ndarray, params: np.ndarray) -> Warp2D:
+    """grids: (P, H, W) nonnegative vertex values; params: (P,) increasing."""
+    g = np.asarray(grids, np.float64)
+    g = np.maximum(g, 0.0)
+    P, H, W = g.shape
+    dx, dy = 1.0 / (W - 1), 1.0 / (H - 1)
+    # trapezoid along x: row integrals and cumulative
+    seg_x = 0.5 * (g[..., :-1] + g[..., 1:]) * dx  # (P, H, W-1)
+    cond = np.concatenate([np.zeros((P, H, 1)), np.cumsum(seg_x, axis=-1)], axis=-1)
+    row_int = cond[..., -1]  # (P, H)
+    seg_y = 0.5 * (row_int[:, :-1] + row_int[:, 1:]) * dy
+    marg = np.concatenate([np.zeros((P, 1)), np.cumsum(seg_y, axis=-1)], axis=-1)
+    total = marg[:, -1:]  # (P, 1)
+    total = np.maximum(total, 1e-30)
+    return Warp2D(
+        density=jnp.asarray(g / total[..., None], jnp.float32),
+        cond_cdf=jnp.asarray(cond / total[..., None], jnp.float32),
+        marg_cdf=jnp.asarray(marg / total, jnp.float32),
+        params=jnp.asarray(params, jnp.float32),
+    )
+
+
+def _param_weight(warp: Warp2D, theta):
+    """Bracketing slice indices + blend weight, clamped at the ends."""
+    p = warp.params
+    idx = jnp.clip(jnp.searchsorted(p, theta, side="right") - 1, 0, p.shape[0] - 2)
+    w = (theta - p[idx]) / jnp.maximum(p[idx + 1] - p[idx], 1e-12)
+    return idx, idx + 1, jnp.clip(w, 0.0, 1.0)
+
+
+def _bsearch(cdf_at, n: int, target):
+    """Largest cell index i in [0, n-2] with cdf(i) <= target (vectorized)."""
+    lo = jnp.zeros_like(target, dtype=jnp.int32)
+    hi = jnp.full_like(lo, n - 2)
+    for _ in range(int(math.ceil(math.log2(max(n, 2))))):
+        mid = (lo + hi + 1) // 2
+        go_right = cdf_at(mid) <= target
+        lo = jnp.where(go_right, mid, lo)
+        hi = jnp.where(go_right, hi, mid - 1)
+    return lo
+
+
+def _invert_linear_cdf(c0, d0, d1, step, target):
+    """Solve target = c0 + step*(d0*t + (d1-d0)*t^2/2) for t in [0,1].
+
+    Uses the citardauq root t = 2*rhs / (d0 + sqrt(d0^2 + 2a*rhs)) — the
+    textbook (sqrt(..) - d0)/a form cancels catastrophically in fp32 when
+    |a*rhs| << d0^2 (flat-density cells), which shows up as ~1e-2 errors in
+    sample<->invert round-trips."""
+    a = d1 - d0
+    rhs = jnp.maximum((target - c0) / step, 0.0)
+    disc = jnp.maximum(d0 * d0 + 2.0 * a * rhs, 0.0)
+    denom = d0 + jnp.sqrt(disc)
+    t = 2.0 * rhs / jnp.maximum(denom, 1e-20)
+    return jnp.clip(t, 0.0, 1.0)
+
+
+def _eval_linear_cdf(c0, d0, d1, step, t):
+    return c0 + step * (d0 * t + 0.5 * (d1 - d0) * t * t)
+
+
+def _marg(warp, p0, p1, wp, k):
+    return (1 - wp) * warp.marg_cdf[p0, k] + wp * warp.marg_cdf[p1, k]
+
+
+def _cond(warp, p0, p1, wp, k0, k1, wk, j):
+    v0 = (1 - wp) * warp.cond_cdf[p0, k0, j] + wp * warp.cond_cdf[p1, k0, j]
+    v1 = (1 - wp) * warp.cond_cdf[p0, k1, j] + wp * warp.cond_cdf[p1, k1, j]
+    return (1 - wk) * v0 + wk * v1
+
+
+def _dens(warp, p0, p1, wp, k0, k1, wk, j):
+    v0 = (1 - wp) * warp.density[p0, k0, j] + wp * warp.density[p1, k0, j]
+    v1 = (1 - wp) * warp.density[p0, k1, j] + wp * warp.density[p1, k1, j]
+    return (1 - wk) * v0 + wk * v1
+
+
+def _row_density(warp, p0, p1, wp, k):
+    """Marginal (row-integral) density at vertex row k."""
+    last = warp.cond_cdf.shape[-1] - 1
+    return (1 - wp) * warp.cond_cdf[p0, k, last] + wp * warp.cond_cdf[p1, k, last]
+
+
+def warp_sample(warp: Warp2D, u: jnp.ndarray, theta: jnp.ndarray):
+    """u: (..., 2) uniforms; theta: (...,) parameter. Returns ((..., 2) pos,
+    (...,) density at pos)."""
+    H, W = warp.res
+    dx, dy = 1.0 / (W - 1), 1.0 / (H - 1)
+    u1, u2 = u[..., 0], u[..., 1]
+    p0, p1, wp = _param_weight(warp, theta)
+
+    # --- marginal along y
+    k = _bsearch(lambda i: _marg(warp, p0, p1, wp, i), H, u2)
+    m0 = _row_density(warp, p0, p1, wp, k)
+    m1 = _row_density(warp, p0, p1, wp, k + 1)
+    t = _invert_linear_cdf(_marg(warp, p0, p1, wp, k), m0, m1, dy, u2)
+    y = (k.astype(u2.dtype) + t) * dy
+
+    # --- conditional along x (row blended by t)
+    row_total = (1 - t) * m0 + t * m1
+    target = u1 * row_total
+    j = _bsearch(lambda i: _cond(warp, p0, p1, wp, k, k + 1, t, i), W, target)
+    d0 = _dens(warp, p0, p1, wp, k, k + 1, t, j)
+    d1 = _dens(warp, p0, p1, wp, k, k + 1, t, j + 1)
+    s = _invert_linear_cdf(_cond(warp, p0, p1, wp, k, k + 1, t, j), d0, d1, dx, target)
+    x = (j.astype(u1.dtype) + s) * dx
+
+    pdf = (1 - s) * d0 + s * d1
+    return jnp.stack([x, y], axis=-1), pdf
+
+
+def warp_invert(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray):
+    """Exact inverse of warp_sample: (pos, theta) -> ((..., 2) u, density)."""
+    H, W = warp.res
+    dx, dy = 1.0 / (W - 1), 1.0 / (H - 1)
+    x, y = pos[..., 0], pos[..., 1]
+    p0, p1, wp = _param_weight(warp, theta)
+
+    yk = jnp.clip(y * (H - 1), 0.0, H - 1 - 1e-6)
+    k = yk.astype(jnp.int32)
+    t = yk - k.astype(yk.dtype)
+    m0 = _row_density(warp, p0, p1, wp, k)
+    m1 = _row_density(warp, p0, p1, wp, k + 1)
+    u2 = _eval_linear_cdf(_marg(warp, p0, p1, wp, k), m0, m1, dy, t)
+
+    xj = jnp.clip(x * (W - 1), 0.0, W - 1 - 1e-6)
+    j = xj.astype(jnp.int32)
+    s = xj - j.astype(xj.dtype)
+    d0 = _dens(warp, p0, p1, wp, k, k + 1, t, j)
+    d1 = _dens(warp, p0, p1, wp, k, k + 1, t, j + 1)
+    cx = _eval_linear_cdf(_cond(warp, p0, p1, wp, k, k + 1, t, j), d0, d1, dx, s)
+    row_total = (1 - t) * m0 + t * m1
+    u1 = cx / jnp.maximum(row_total, 1e-20)
+
+    pdf = (1 - s) * d0 + s * d1
+    return jnp.stack([u1, u2], axis=-1), pdf
+
+
+def warp_eval(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray):
+    """Normalized density at pos (unit-square measure)."""
+    H, W = warp.res
+    x, y = pos[..., 0], pos[..., 1]
+    p0, p1, wp = _param_weight(warp, theta)
+    yk = jnp.clip(y * (H - 1), 0.0, H - 1 - 1e-6)
+    k = yk.astype(jnp.int32)
+    t = yk - k.astype(yk.dtype)
+    xj = jnp.clip(x * (W - 1), 0.0, W - 1 - 1e-6)
+    j = xj.astype(jnp.int32)
+    s = xj - j.astype(xj.dtype)
+    d0 = _dens(warp, p0, p1, wp, k, k + 1, t, j)
+    d1 = _dens(warp, p0, p1, wp, k, k + 1, t, j + 1)
+    return (1 - s) * d0 + s * d1

@@ -1,0 +1,282 @@
+"""Pallas fused few-step ODE sampler — the tiny-cuda-nn equivalent.
+
+The reference's hot path runs a T-step Euler loop where every step is a
+full fused-MLP CUDA megakernel launch plus two autograd VJPs
+(`/root/reference/rendering/utils/mlp_brdf_sampling.py:27-48`;
+`/root/reference/tiny-cuda-nn/src/fully_fused_mlp.cu:499-560`). The TPU
+re-design fuses MORE than tcnn does: the ENTIRE T-step loop, all MLP
+layers, and the per-step 2x2 Jacobian (forward-mode tangents, not VJPs)
+execute in one Pallas kernel per batch tile — weights and activations
+stay resident in VMEM; HBM traffic is one read of (x0, cond) and one
+write of (x_T, det) per sample, independent of T.
+
+Lane packing: the velocity nets are only 32/64 wide, so a naive matmul
+uses 32/128 of the MXU's lanes. We pack `128 // block` independent samples
+into each 128-lane row and expand the weights block-diagonally
+(jnp.kron(I_pack, W)) — the same trick as tcnn choosing WIDTH-specialized
+kernels (`fully_fused_mlp.cu:115-118`), but expressed as a layout instead
+of template code. The MXU then runs dense 128x128 passes with 4x (width
+32) or 2x (width 64) the useful throughput.
+
+Jacobian: per step we need dv/dx, a 2-column Jacobian. Both tangent
+streams ride the same matmuls as the primal by concatenating
+[primal; tangent0; tangent1] along the sublane (batch) axis: one
+(3*TILE, 128) @ (128, 128) per layer. Hidden-layer tangents multiply by
+silu'(z_primal) elementwise. For the spherical domain the state->input
+encoding (theta, phi) -> (theta, sin phi, cos phi)
+(`mlp_brdf_sampling.py:119-120`) is differentiated in-kernel: tangent
+seeds are d(enc)/d(theta) = (1,0,0) and d(enc)/d(phi) = (0, cos, -sin).
+
+Numerics: fp32 throughout — the det product is the sample's importance
+weight; bf16 drift there shows up as image bias (SURVEY.md §7 hard part b).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_INTERPRET = False  # flipped by tests on CPU
+
+
+def _block_size(v_params: List[dict]) -> int:
+    """Feature-block width: smallest of {32, 64, 128} holding every layer."""
+    widest = max(max(l["w"].shape) for l in v_params)
+    for b in (32, 64, 128):
+        if widest <= b:
+            return b
+    raise ValueError(f"net too wide for lane packing: {widest}")
+
+
+def pack_weights(v_params: List[dict], block: int) -> jnp.ndarray:
+    """(L, 128, 128) block-diagonal expanded weights, zero-padded."""
+    pack = LANES // block
+    eye = jnp.eye(pack, dtype=jnp.float32)
+    mats = []
+    for layer in v_params:
+        w = layer["w"].astype(jnp.float32)
+        d_in, d_out = w.shape
+        wp = jnp.zeros((block, block), jnp.float32).at[:d_in, :d_out].set(w)
+        mats.append(jnp.kron(eye, wp))
+    return jnp.stack(mats)
+
+
+def _silu_and_grad(z):
+    s = jax.nn.sigmoid(z)
+    return z * s, s * (1.0 + z * (1.0 - s))
+
+
+def _mlp_with_tangents(big, w_ref, n_layers: int, tile: int):
+    """[primal; t0; t1] (3*tile, 128) through the packed MLP."""
+    for l in range(n_layers):
+        w = w_ref[l]
+        z = jnp.dot(big, w, preferred_element_type=jnp.float32)
+        if l + 1 < n_layers:
+            a, sp = _silu_and_grad(z[:tile])
+            big = jnp.concatenate([a, z[tile:] * jnp.concatenate([sp, sp], 0)], 0)
+        else:
+            big = z
+    return big[:tile], big[tile : 2 * tile], big[2 * tile :]
+
+
+def _mlp_primal(x, w_ref, n_layers: int):
+    for l in range(n_layers):
+        z = jnp.dot(x, w_ref[l], preferred_element_type=jnp.float32)
+        x = z * jax.nn.sigmoid(z) if l + 1 < n_layers else z
+    return x
+
+
+def _fused_ode_kernel(
+    s_ref,  # (TILE, 128) packed state: blockcol 0:2 = x, rest zero
+    c_ref,  # (TILE, 128) packed condition: blockcol 3:3+cond_dim = cond_enc
+    w_ref,  # (L, 128, 128)
+    out_ref,  # (TILE, 128): blockcol 0:2 = x_T, blockcol 2 = det product
+    *,
+    domain: str,
+    T: int,
+    n_layers: int,
+    block: int,
+    reverse: bool,
+    with_jac: bool,
+):
+    tile = s_ref.shape[0]
+    h = 1.0 / T
+    sign = -1.0 if reverse else 1.0
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1) % block
+    is0, is1, is2 = (col == 0), (col == 1), (col == 2)
+    f32 = jnp.float32
+
+    cond = c_ref[:]
+    s0 = s_ref[:]
+
+    def encode(s, alpha):
+        """State -> network input rows (x_enc, alpha, cond)."""
+        if domain == "disk":
+            x_part = jnp.where(col < 2, s, 0.0)
+            alpha_col = jnp.where(is2, alpha, 0.0)
+        else:
+            theta = jnp.where(is0, s, 0.0)
+            # phi lives in blockcol 1; place sin(phi) at input col 1 and
+            # cos(phi) at input col 2 by computing on the phi column and
+            # shifting the cos lane right by one.
+            sin_p = jnp.where(is1, jnp.sin(s), 0.0)
+            cos_p = jnp.where(is1, jnp.cos(s), 0.0)
+            # shift cos from blockcol1 to blockcol2 (one lane right)
+            cos_p = pltpu.roll(cos_p, shift=1, axis=1)
+            x_part = theta + sin_p + cos_p
+            alpha_col = jnp.where(col == 3, alpha, 0.0)
+        return x_part + alpha_col + cond
+
+    def tangent_seeds(s):
+        if domain == "disk":
+            t0 = jnp.where(is0, 1.0, 0.0).astype(f32)
+            t1 = jnp.where(is1, 1.0, 0.0).astype(f32)
+        else:
+            t0 = jnp.where(is0, 1.0, 0.0).astype(f32)
+            cos_p = jnp.where(is1, jnp.cos(s), 0.0)
+            sin_p = jnp.where(is1, -jnp.sin(s), 0.0)
+            t1 = cos_p + pltpu.roll(sin_p, shift=1, axis=1)
+        return t0, t1
+
+    def body(t, carry):
+        s, det = carry
+        tt = t.astype(f32)
+        alpha = (1.0 - tt * h) if reverse else (tt * h)
+        inp = encode(s, alpha)
+        if with_jac:
+            t0, t1 = tangent_seeds(s)
+            big = jnp.concatenate([inp, t0, t1], axis=0)
+            v, j0, j1 = _mlp_with_tangents(big, w_ref, n_layers, tile)
+            # per-sample 2x2 det from blockcols 0/1 of the tangent outputs
+            a = 1.0 + sign * h * jnp.where(is0, j0, 0.0)  # d v0/d x0
+            b = sign * h * jnp.where(is0, j1, 0.0)        # d v0/d x1
+            c = sign * h * jnp.where(is1, j0, 0.0)        # d v1/d x0
+            d = 1.0 + sign * h * jnp.where(is1, j1, 0.0)  # d v1/d x1
+            # align: move the blockcol-1 lanes of c, d onto blockcol 0
+            # (pltpu.roll requires shift >= 0; LANES-1 == circular -1)
+            c = pltpu.roll(c, shift=LANES - 1, axis=1)
+            d = pltpu.roll(d, shift=LANES - 1, axis=1)
+            step_det = jnp.where(is0, a * d - b * c, 1.0)
+            det = det * jnp.where(is0, step_det, 1.0)
+        else:
+            v = _mlp_primal(inp, w_ref, n_layers)
+        s = s + sign * h * jnp.where(col < 2, v, 0.0)
+        return s, det
+
+    det0 = jnp.ones((tile, LANES), f32)
+    s_fin, det_fin = jax.lax.fori_loop(0, T, body, (s0, det0))
+    # det product is stored on blockcol 2 (x uses 0:2)
+    out = jnp.where(col < 2, s_fin, 0.0)
+    if with_jac:
+        out = out + pltpu.roll(jnp.where(is0, det_fin, 0.0), shift=2, axis=1)
+    out_ref[:] = out
+
+
+def _pack_rows(x: jnp.ndarray, offset: int, block: int, n_pad: int) -> jnp.ndarray:
+    """(N, d) -> (N/pack, 128) rows of `pack` samples, features at blockcol
+    offset:offset+d, zero elsewhere."""
+    n, d = x.shape
+    pack = LANES // block
+    buf = jnp.zeros((n_pad, block), x.dtype)
+    buf = buf.at[:n, offset : offset + d].set(x)
+    return buf.reshape(n_pad // pack, LANES)
+
+
+def _unpack_rows(rows: jnp.ndarray, n: int, block: int) -> jnp.ndarray:
+    """(N/pack, 128) -> (N, block)."""
+    pack = LANES // block
+    return rows.reshape(rows.shape[0] * pack, block)[:n]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("domain", "T", "n_layers", "block", "reverse", "with_jac", "tile"),
+)
+def _fused_call(
+    s_packed, c_packed, w_packed, *, domain, T, n_layers, block, reverse, with_jac, tile
+):
+    n_rows = s_packed.shape[0]
+    grid = (n_rows // tile,)
+    kernel = functools.partial(
+        _fused_ode_kernel,
+        domain=domain,
+        T=T,
+        n_layers=n_layers,
+        block=block,
+        reverse=reverse,
+        with_jac=with_jac,
+    )
+    streams = 3 if with_jac else 1
+    flops = grid[0] * T * n_layers * (streams * tile * LANES * LANES * 2)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (w_packed.shape[0], LANES, LANES),
+                lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=3 * n_rows * LANES * 4,
+            transcendentals=grid[0] * T * n_layers * tile * LANES,
+        ),
+        interpret=_INTERPRET,
+    )(s_packed, c_packed, w_packed)
+
+
+def fused_ode_transport(
+    domain: str,
+    v_params: List[dict],
+    x0: jnp.ndarray,
+    cond_enc: jnp.ndarray,
+    T: int,
+    reverse: bool = False,
+    with_jac: bool = True,
+    tile: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the fused T-step Euler transport.
+
+    Forward (reverse=False): x0 -> x_T, returns (x_T, prod_t det(I + J/T)).
+    Reverse (reverse=True):  x_T -> x0, returns (x0, prod_t det(I - J/T)).
+    Semantics identical to `ode/flow.py` (`mlp_brdf_sampling.py:17-51` /
+    `:69-103`); that XLA path is the parity oracle in tests.
+    """
+    n = x0.shape[0]
+    block = _block_size(v_params)
+    pack = LANES // block
+    n_pad = ((n + tile * pack - 1) // (tile * pack)) * (tile * pack)
+
+    cond_off = 3 if domain == "disk" else 4
+    s_packed = _pack_rows(x0.astype(jnp.float32), 0, block, n_pad)
+    c_packed = _pack_rows(cond_enc.astype(jnp.float32), cond_off, block, n_pad)
+    w_packed = pack_weights(v_params, block)
+
+    out = _fused_call(
+        s_packed,
+        c_packed,
+        w_packed,
+        domain=domain,
+        T=T,
+        n_layers=len(v_params),
+        block=block,
+        reverse=reverse,
+        with_jac=with_jac,
+        tile=tile,
+    )
+    rows = _unpack_rows(out, n, block)
+    x = rows[:, 0:2]
+    det = rows[:, 2]
+    return x, det

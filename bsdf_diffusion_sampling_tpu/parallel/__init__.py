@@ -1,0 +1,9 @@
+from bsdf_diffusion_sampling_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)

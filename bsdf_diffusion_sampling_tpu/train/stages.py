@@ -1,0 +1,313 @@
+"""The three training stages as jitted, mesh-sharded train steps.
+
+TPU re-design of the reference's stage loops
+(`/root/reference/learning_repo_cleanup/disk_domain_sampling.py:14-138`,
+`spherical_domain_sampling.py:17-205`, `bsdf_correct_sampling.py`):
+
+- One `train_step` per stage == value_and_grad + optax Adam update, jitted
+  once; minibatch *selection* (random gather from the device-resident
+  dataset) happens inside the step, so a whole stage is N replays of one
+  XLA executable — the reference's per-iteration numpy indexing +
+  host->device copy (`disk_domain_sampling.py:22`) disappears.
+- Data parallelism: the dataset and batches are sharded over the mesh's
+  "data" axis; params/opt-state are replicated. XLA inserts the gradient
+  all-reduce (psum over ICI) from the shardings — the NCCL-free equivalent
+  of DDP the reference never had (SURVEY.md §2.3).
+- The rectify stage's pair generator runs the *complex* velocity net for
+  T=128/256 Euler steps via `ode_sample_only` — one `lax.scan` on device,
+  taking the role of tiny-cuda-nn's fused inference loop
+  (`disk_domain_sampling.py:91-110`).
+- Checkpoints carry (params, opt_state, step) and resume exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Callable, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bsdf_diffusion_sampling_tpu.core.config import ModelConfig, TrainConfig
+from bsdf_diffusion_sampling_tpu.geometry.sampling import (
+    stratified_disk,
+    stratified_hemisphere_angles,
+)
+from bsdf_diffusion_sampling_tpu.models.base_density import get_base
+from bsdf_diffusion_sampling_tpu.models.velocity import encode_condition, velocity_init
+from bsdf_diffusion_sampling_tpu.ode.flow import ode_sample_only
+from bsdf_diffusion_sampling_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    replicated_sharding,
+)
+from bsdf_diffusion_sampling_tpu.train import checkpoint as ckpt
+from bsdf_diffusion_sampling_tpu.train.losses import (
+    flow_matching_mse,
+    linspace_alpha,
+    pretrain_nll,
+)
+
+
+class TrainState(NamedTuple):
+    params: object
+    opt_state: object
+    step: jnp.ndarray  # scalar int32
+
+
+def init_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
+
+
+def _apply(tx, state: TrainState, grads) -> TrainState:
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    return TrainState(
+        optax.apply_updates(state.params, updates), opt_state, state.step + 1
+    )
+
+
+# ------------------------------------------------------------- pretrain ----
+
+
+def make_pretrain_step(domain: str, tx: optax.GradientTransformation):
+    """(state, dataset, key) -> (state, loss). dataset: (N, 4) device array."""
+    base = get_base(domain)
+
+    def step(state: TrainState, dataset: jnp.ndarray, key: jax.Array, batch_size: int):
+        idx = jax.random.randint(key, (batch_size,), 0, dataset.shape[0])
+        batch = dataset[idx]
+        loss, grads = jax.value_and_grad(
+            lambda p: pretrain_nll(base, p, batch)
+        )(state.params)
+        return _apply(tx, state, grads), loss
+
+    return step
+
+
+# ------------------------------------------------------------ diffusion ----
+
+
+def make_diffusion_step(domain: str, cfg: ModelConfig, tx: optax.GradientTransformation):
+    """Flow-matching step: minibatch gather + base sampling + MSE + Adam."""
+    base = get_base(domain)
+
+    def step(
+        state: TrainState,
+        base_params: dict,
+        dataset: jnp.ndarray,
+        key: jax.Array,
+        batch_size: int,
+    ):
+        k_idx, k_x0 = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (batch_size,), 0, dataset.shape[0])
+        batch = dataset[idx]
+        omega_i, x1 = batch[:, 0:2], batch[:, 2:4]
+        x0 = base.sample(base_params, omega_i, k_x0)
+        alpha = linspace_alpha(batch_size)
+        cond = encode_condition(omega_i, cfg)
+        loss, grads = jax.value_and_grad(
+            lambda p: flow_matching_mse(domain, p, x0, x1, alpha, cond)
+        )(state.params)
+        return _apply(tx, state, grads), loss
+
+    return step
+
+
+# -------------------------------------------------------------- rectify ----
+
+
+def make_rectify_pairgen(domain: str, cfg: ModelConfig, T: int):
+    """(teacher_params, base_params, key, n_wi, n_per_wi) ->
+    (x0, x1, omega_i): straightened transport pairs, shuffled.
+
+    Mirrors `dosampling` + shuffle (`disk_domain_sampling.py:91-117`): draw
+    stratified omega_i, repeat each n_per_wi times, push base samples
+    through the teacher's T-step ODE.
+    """
+    base = get_base(domain)
+
+    @partial(jax.jit, static_argnames=("n_wi", "n_per_wi"))
+    def pairgen(teacher_params, base_params, key, n_wi: int, n_per_wi: int):
+        k_wi, k_x0, k_perm = jax.random.split(key, 3)
+        if domain == "disk":
+            wi = stratified_disk(k_wi, n_wi)
+        else:
+            theta_max = jnp.pi if domain == "sphere_full" else jnp.pi / 2
+            wi = stratified_hemisphere_angles(k_wi, n_wi, theta_max)
+        omega_i = jnp.repeat(wi, n_per_wi, axis=0)
+        x0 = base.sample(base_params, omega_i, k_x0)
+        cond = encode_condition(omega_i, cfg)
+        x1 = ode_sample_only(domain, teacher_params, x0, cond, T)
+        perm = jax.random.permutation(k_perm, omega_i.shape[0])
+        return x0[perm], x1[perm], omega_i[perm]
+
+    return pairgen
+
+
+def make_rectify_step(domain: str, cfg: ModelConfig, tx: optax.GradientTransformation):
+    """Retrain the student on straightened (x0, x1) pairs
+    (`disk_domain_sampling.py:118-131`)."""
+
+    def step(state: TrainState, x0, x1, omega_i):
+        alpha = linspace_alpha(x0.shape[0])
+        cond = encode_condition(omega_i, cfg)
+        loss, grads = jax.value_and_grad(
+            lambda p: flow_matching_mse(domain, p, x0, x1, alpha, cond)
+        )(state.params)
+        return _apply(tx, state, grads), loss
+
+    return step
+
+
+# ------------------------------------------------------------- trainers ----
+
+
+def run_stage(
+    *,
+    name: str,
+    mesh: Mesh,
+    state: TrainState,
+    step_call: Callable[[TrainState, jax.Array, int], Tuple[TrainState, jnp.ndarray]],
+    iters: int,
+    key: jax.Array,
+    checkpoint_path: Optional[str] = None,
+    save_every: int = 1000,
+    log_every: int = 100,
+    log_fn: Callable[[str], None] = print,
+) -> TrainState:
+    """Generic stage driver: resume-from-checkpoint, replay the jitted step,
+    periodic save (the tqdm/save_iter loop of the reference, minus tqdm)."""
+    start = int(state.step)
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        state, saved_step = ckpt.load_pytree(checkpoint_path, state)
+        state = replicate(mesh, state)
+        start = saved_step
+        log_fn(f"[{name}] resumed at step {start}")
+    t0 = time.perf_counter()
+    loss = None
+    for it in range(start, iters):
+        state, loss = step_call(state, jax.random.fold_in(key, it), it)
+        if log_every and (it % log_every == 0 or it + 1 == iters):
+            loss_v = float(loss)
+            rate = (it + 1 - start) / (time.perf_counter() - t0)
+            log_fn(f"[{name}] step {it}/{iters} loss {loss_v:.6g} ({rate:.1f} it/s)")
+        if checkpoint_path and save_every and it % save_every == 0 and it > start:
+            ckpt.save_pytree(checkpoint_path, jax.device_get(state), step=it)
+    if checkpoint_path:
+        ckpt.save_pytree(checkpoint_path, jax.device_get(state), step=iters)
+    return state
+
+
+# ------------------------------------------------------- full pipelines ----
+
+
+def train_material(
+    dataset: np.ndarray,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    mesh: Optional[Mesh] = None,
+    teacher_cfg: Optional[ModelConfig] = None,
+    log_fn: Callable[[str], None] = print,
+):
+    """Full pretrain -> diffusion -> rectify pipeline for one material.
+
+    Returns dict with base/diffusion/rectified params. `teacher_cfg` names
+    the complex net used to generate rectify pairs (spherical pipelines
+    train both a complex teacher and a simpler student,
+    `spherical_domain_sampling.py:44-48,130-145`); None = self-distill the
+    single diffusion net (disk pipeline, `disk_domain_sampling.py:69-117`).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    domain = model_cfg.domain
+    n_dev = mesh.devices.size
+    key = jax.random.key(train_cfg.seed)
+    k_base, k_vel, k_teacher, k_run = jax.random.split(key, 4)
+    base = get_base(domain)
+    ckdir = train_cfg.checkpoint_dir
+
+    def _pad(n):  # batch divisible by mesh size
+        return ((n + n_dev - 1) // n_dev) * n_dev
+
+    data_dev = jax.device_put(jnp.asarray(dataset), replicated_sharding(mesh))
+
+    # ---- pretrain
+    tx = optax.adam(train_cfg.lr_pretrain)
+    b_state = init_state(base.init(k_base, pe_bands=model_cfg.base_pe_bands,
+                                   hidden=model_cfg.base_hidden), tx)
+    b_state = replicate(mesh, b_state)
+    pre_step = jax.jit(
+        make_pretrain_step(domain, tx), donate_argnums=(0,),
+        static_argnames=("batch_size",),
+    )
+    bs_pre = _pad(train_cfg.batch_pretrain)
+    b_state = run_stage(
+        name=f"pretrain/{domain}", mesh=mesh, state=b_state,
+        step_call=lambda s, k, it: pre_step(s, data_dev, k, batch_size=bs_pre),
+        iters=train_cfg.iters_pretrain, key=jax.random.fold_in(k_run, 0),
+        checkpoint_path=os.path.join(ckdir, "pretrain.npz") if ckdir else None,
+        save_every=train_cfg.save_every, log_every=train_cfg.log_every, log_fn=log_fn,
+    )
+    base_params = b_state.params
+
+    # ---- diffusion (student; plus teacher if configured)
+    def _train_diffusion(cfg, k_init, tag):
+        tx_d = optax.adam(train_cfg.lr_diffusion)
+        state = replicate(mesh, init_state(velocity_init(k_init, cfg), tx_d))
+        d_step = jax.jit(
+            make_diffusion_step(domain, cfg, tx_d), donate_argnums=(0,),
+            static_argnames=("batch_size",),
+        )
+        bs = _pad(train_cfg.batch_diffusion)
+        state = run_stage(
+            name=f"diffusion-{tag}/{domain}", mesh=mesh, state=state,
+            step_call=lambda s, k, it: d_step(s, base_params, data_dev, k, batch_size=bs),
+            iters=train_cfg.iters_diffusion, key=jax.random.fold_in(k_run, hash(tag) & 0xFFFF),
+            checkpoint_path=os.path.join(ckdir, f"diffusion_{tag}.npz") if ckdir else None,
+            save_every=train_cfg.save_every, log_every=train_cfg.log_every, log_fn=log_fn,
+        )
+        return state.params
+
+    student_params = _train_diffusion(model_cfg, k_vel, "simpler")
+    if teacher_cfg is not None:
+        teacher_params = _train_diffusion(teacher_cfg, k_teacher, "complex")
+        teacher_model_cfg = teacher_cfg
+    else:
+        teacher_params, teacher_model_cfg = student_params, model_cfg
+
+    # ---- rectify: pairs from the teacher ODE, retrain the student.
+    # Fresh buffers: r_step donates its state, and the rectify state must
+    # not alias student/teacher params still read by the pair generator.
+    rect_init = jax.tree.map(jnp.copy, student_params)
+    tx_r = optax.adam(train_cfg.lr_rectify)
+    r_state = replicate(mesh, TrainState(rect_init, tx_r.init(rect_init),
+                                         jnp.asarray(0, jnp.int32)))
+    pairgen = make_rectify_pairgen(domain, teacher_model_cfg, train_cfg.timestep_rectify)
+    r_step = jax.jit(make_rectify_step(domain, model_cfg, tx_r), donate_argnums=(0,))
+    n_wi = _pad(train_cfg.batch_wi_rectify)
+
+    def rectify_call(s, k, it):
+        k_pairs, k_step = jax.random.split(k)
+        x0, x1, wi = pairgen(teacher_params, base_params, k_pairs,
+                             n_wi, train_cfg.num_samples_rectify)
+        return r_step(s, x0, x1, wi)
+
+    r_state = run_stage(
+        name=f"rectify/{domain}", mesh=mesh, state=r_state,
+        step_call=rectify_call,
+        iters=train_cfg.iters_rectify, key=jax.random.fold_in(k_run, 3),
+        checkpoint_path=os.path.join(ckdir, "rectify.npz") if ckdir else None,
+        save_every=train_cfg.save_every, log_every=train_cfg.log_every, log_fn=log_fn,
+    )
+
+    return {
+        "base": base_params,
+        "diffusion": student_params,
+        "teacher": teacher_params,
+        "rectified": r_state.params,
+    }
