@@ -51,11 +51,19 @@ def main() -> None:
         def run(key):
             return ode_sample("disk", v_params, b_params, omega_i, cond, key, T)
     else:
+        # NOTE: the base draw and the fused kernel are dispatched as two
+        # top-level jits on purpose. Wrapping the pallas_call in a larger
+        # jit graph triggers pathological Mosaic compile times (minutes)
+        # on v5e, while standalone the kernel compiles in ~12 s; the extra
+        # dispatch costs ~1 ms against a ~6 ms kernel.
         @jax.jit
-        def run(key):
-            # full sample+pdf: base draw + fused T-step transport w/ dets
+        def base_draw(key):
             x0 = base.sample(b_params, omega_i, key)
             p0 = jnp.exp(base.log_prob(b_params, x0, omega_i))
+            return x0, p0
+
+        def run(key):
+            x0, p0 = base_draw(key)
             x, det = fused_ode_transport("disk", v_params, x0, cond, T, tile=256)
             return x, p0 / det
 

@@ -1,0 +1,196 @@
+"""BVH: host-side build (numpy) + vectorized device traversal (JAX).
+
+The reference delegates ray tracing to Mitsuba's C++/CUDA (OptiX) kernels;
+here the accelerator is TPU-native: the tree is built once on the host and
+flattened into arrays, and traversal runs as one lockstep `lax.while_loop`
+over the whole ray wavefront — each iteration every live ray pops one node
+from its private stack, slab-tests it, and either pushes children or
+Möller-Trumbore-tests a small leaf. No divergence handling beyond masking:
+rays that empty their stack idle until the wavefront finishes (the
+fixed-size-wavefront-with-masks design SURVEY.md §7 calls for; queue
+compaction is XLA-hostile).
+
+Build: binned-midpoint top-down split on the longest centroid axis,
+max-leaf 4, primitives reordered so leaves span contiguous ranges.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bsdf_diffusion_sampling_tpu.render.mesh import TriangleSoup
+
+MAX_LEAF = 4
+STACK_DEPTH = 48
+_INF = np.float32(1e30)
+
+
+class BVHArrays(NamedTuple):
+    bb_min: jnp.ndarray  # (N, 3)
+    bb_max: jnp.ndarray  # (N, 3)
+    left: jnp.ndarray  # (N,) inner: left-child index; leaf: first prim
+    count: jnp.ndarray  # (N,) 0 = inner, >0 = leaf prim count
+    # reordered triangle data
+    v0: jnp.ndarray
+    e1: jnp.ndarray
+    e2: jnp.ndarray
+    n0: jnp.ndarray
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    material_id: jnp.ndarray
+
+
+def build_bvh(soup: TriangleSoup) -> BVHArrays:
+    """Build via the native C++ median-split builder (native/bvh_build.cpp)
+    — the pure-Python recursive equivalent took minutes on the 61k-triangle
+    matpreview scene; the native one takes milliseconds."""
+    from bsdf_diffusion_sampling_tpu.native.bvhlib import build_bvh_native
+
+    v0, e1, e2 = soup.v0, soup.e1, soup.e2
+    lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+    bb_min_a, bb_max_a, left_a, count_a, perm = build_bvh_native(lo, hi, MAX_LEAF)
+
+    def reorder(x):
+        return jnp.asarray(np.asarray(x)[perm])
+
+    return BVHArrays(
+        bb_min=jnp.asarray(bb_min_a),
+        bb_max=jnp.asarray(bb_max_a),
+        left=jnp.asarray(left_a),
+        count=jnp.asarray(count_a),
+        v0=reorder(soup.v0),
+        e1=reorder(soup.e1),
+        e2=reorder(soup.e2),
+        n0=reorder(soup.n0),
+        n1=reorder(soup.n1),
+        n2=reorder(soup.n2),
+        uv0=reorder(soup.uv0),
+        uv1=reorder(soup.uv1),
+        uv2=reorder(soup.uv2),
+        material_id=reorder(soup.material_id),
+    )
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray  # (R,) hit distance (1e30 = miss)
+    prim: jnp.ndarray  # (R,) primitive index (reordered space)
+    u: jnp.ndarray  # (R,) barycentric
+    v: jnp.ndarray
+
+
+def _slab_test(bb_min, bb_max, ro, inv_rd, t_best):
+    t0 = (bb_min - ro) * inv_rd
+    t1 = (bb_max - ro) * inv_rd
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return (t_near <= t_far) & (t_far > 1e-5) & (t_near < t_best)
+
+
+def _tri_test(bvh: BVHArrays, prim, ro, rd, t_best):
+    """Möller-Trumbore for one gathered primitive per ray."""
+    v0 = bvh.v0[prim]
+    e1 = bvh.e1[prim]
+    e2 = bvh.e2[prim]
+    p = jnp.cross(rd, e2)
+    det = jnp.sum(e1 * p, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    s = ro - v0
+    u = jnp.sum(s * p, axis=-1) * inv_det
+    q = jnp.cross(s, e1)
+    v = jnp.sum(rd * q, axis=-1) * inv_det
+    t = jnp.sum(e2 * q, axis=-1) * inv_det
+    ok = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 1e-4)
+        & (t < t_best)
+    )
+    return ok, t, u, v
+
+
+def intersect(bvh: BVHArrays, ro: jnp.ndarray, rd: jnp.ndarray,
+              t_max: float | jnp.ndarray = _INF) -> Hit:
+    """Closest-hit traversal for a wavefront of rays (R, 3)."""
+    r = ro.shape[0]
+    inv_rd = 1.0 / jnp.where(jnp.abs(rd) < 1e-12, jnp.where(rd >= 0, 1e-12, -1e-12), rd)
+    stack = jnp.zeros((r, STACK_DEPTH), jnp.int32)
+    ptr = jnp.ones((r,), jnp.int32)  # root pushed
+
+    init = (
+        stack,
+        ptr,
+        jnp.full((r,), t_max, jnp.float32) if jnp.ndim(t_max) == 0 else t_max,
+        jnp.zeros((r,), jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+    )
+
+    def cond(state):
+        _, ptr, *_ = state
+        return jnp.any(ptr > 0)
+
+    def body(state):
+        stack, ptr, t_best, prim_best, u_best, v_best = state
+        live = ptr > 0
+        top = jnp.maximum(ptr - 1, 0)
+        node = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
+        node = jnp.where(live, node, 0)
+        ptr = jnp.where(live, ptr - 1, ptr)
+
+        hit_box = _slab_test(bvh.bb_min[node], bvh.bb_max[node], ro, inv_rd, t_best)
+        hit_box &= live
+        cnt = bvh.count[node]
+        is_leaf = hit_box & (cnt > 0)
+        is_inner = hit_box & (cnt == 0)
+
+        # leaf: test up to MAX_LEAF prims
+        first = bvh.left[node]
+        for i in range(MAX_LEAF):
+            prim = jnp.clip(first + i, 0, bvh.v0.shape[0] - 1)
+            ok, t, u, v = _tri_test(bvh, prim, ro, rd, t_best)
+            ok &= is_leaf & (i < cnt)
+            t_best = jnp.where(ok, t, t_best)
+            prim_best = jnp.where(ok, prim, prim_best)
+            u_best = jnp.where(ok, u, u_best)
+            v_best = jnp.where(ok, v, v_best)
+
+        # inner: push both children (left child = node+1 in DFS order,
+        # right child stored in `left` for inner nodes)
+        l_child = node + 1
+        r_child = bvh.left[node]
+        stack = jnp.where(
+            (is_inner & (ptr < STACK_DEPTH))[:, None]
+            & (jnp.arange(STACK_DEPTH)[None, :] == ptr[:, None]),
+            r_child[:, None],
+            stack,
+        )
+        ptr = jnp.where(is_inner, jnp.minimum(ptr + 1, STACK_DEPTH), ptr)
+        stack = jnp.where(
+            (is_inner & (ptr < STACK_DEPTH))[:, None]
+            & (jnp.arange(STACK_DEPTH)[None, :] == ptr[:, None]),
+            l_child[:, None],
+            stack,
+        )
+        ptr = jnp.where(is_inner, jnp.minimum(ptr + 1, STACK_DEPTH), ptr)
+        return stack, ptr, t_best, prim_best, u_best, v_best
+
+    _, _, t, prim, u, v = jax.lax.while_loop(cond, body, init)
+    return Hit(t, prim, u, v)
+
+
+def occluded(bvh: BVHArrays, ro: jnp.ndarray, rd: jnp.ndarray,
+             t_max: jnp.ndarray) -> jnp.ndarray:
+    """Boolean shadow query: any hit closer than t_max."""
+    hit = intersect(bvh, ro, rd, t_max)
+    return hit.t < t_max * 0.9999

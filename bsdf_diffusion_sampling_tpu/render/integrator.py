@@ -1,0 +1,278 @@
+"""Wavefront path tracer with next-event estimation + MIS.
+
+TPU re-design of the reference's render loop: Mitsuba's megakernel path
+integrator with an eagerly-called Python BSDF
+(`/root/reference/rendering/brdf_measured_disk.py:133-164`, flags at
+:21-22) becomes one jitted wavefront program — fixed-size ray batches,
+per-bounce masked material dispatch (no queue compaction, SURVEY.md §7e),
+film accumulation by segment-sum. Every bounce the WHOLE wavefront hits
+the neural sampler in one batch: this is the "megakernel call" of the
+reference (`brdf_measured_disk.py:66`), here a single XLA program.
+
+MIS uses the power heuristic (`rendering/utils/mitsuba_helper.py:139-145`).
+Light transport: NEE against the envmap + BSDF sampling with MIS on both;
+Russian roulette after RR_DEPTH. Radiance clamping is the material's
+firefly policy (neural.firefly_filter), not the integrator's.
+
+The matball material is pluggable (`MatballFns`): ground-truth measured
+RGL importance sampling, or the neural ODE sampler — both run through the
+identical integrator, which makes neural-vs-GT image comparisons
+apples-to-apples. Jit boundaries: scene arrays (BVH, envmap, camera
+vectors) are pytree ARGUMENTS; film size, bounce count and the MatballFns
+(a hashable tuple of functions — build it ONCE and reuse, every new
+instance recompiles) are static.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bsdf_diffusion_sampling_tpu.render.bvh import BVHArrays, intersect, occluded
+from bsdf_diffusion_sampling_tpu.render.camera import accumulate_film, generate_rays
+from bsdf_diffusion_sampling_tpu.render.envmap import EnvMap, eval_env, pdf_env, sample_env
+from bsdf_diffusion_sampling_tpu.render.lambert import (
+    checkerboard,
+    cosine_sample,
+    diffuse_eval,
+    diffuse_pdf,
+    make_frame,
+    to_local,
+    to_world,
+)
+from bsdf_diffusion_sampling_tpu.render.scene import MAT_BALL, MAT_PLANE, Scene
+
+RR_DEPTH = 3
+RR_MAX = 0.95
+RAY_EPS = 1e-3
+GRAY = 0.18  # `scene_measured.xml:46`
+
+
+class MatballFns(NamedTuple):
+    """Local-frame material callbacks for the preview object."""
+
+    sample: Callable  # (key, wi_local) -> (wo_local, pdf)
+    eval: Callable  # (wi_local, wo_local) -> (N, 3) f*cos
+    pdf: Callable  # (wi_local, wo_local) -> (N,)
+    weight_filter: Callable  # (rgb_weight) -> rgb_weight (firefly policy)
+
+
+def mis_weight(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray) -> jnp.ndarray:
+    """Power heuristic beta=2 (`mitsuba_helper.py:139-145`)."""
+    a2 = pdf_a * pdf_a
+    w = a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-20)
+    return jnp.where(pdf_a > 0, w, 0.0)
+
+
+def _albedo(mat_id, uv):
+    plane = checkerboard(uv)
+    gray = jnp.full_like(plane, GRAY)
+    return jnp.where((mat_id == MAT_PLANE)[..., None], plane, gray)
+
+
+def _shade_eval(matball: MatballFns, mat_id, uv, wi_l, wo_l):
+    """f*cos for all materials, masked by mat_id."""
+    diff = diffuse_eval(_albedo(mat_id, uv), wo_l)
+    ball = matball.eval(wi_l, wo_l)
+    return jnp.where((mat_id == MAT_BALL)[..., None], ball, diff)
+
+
+def _shade_pdf(matball: MatballFns, mat_id, wi_l, wo_l):
+    diff = diffuse_pdf(wo_l)
+    ball = matball.pdf(wi_l, wo_l)
+    return jnp.where(mat_id == MAT_BALL, ball, diff)
+
+
+def _shade_sample(matball: MatballFns, key, mat_id, wi_l):
+    k1, k2 = jax.random.split(key)
+    wo_d, pdf_d = cosine_sample(k1, wi_l.shape[:-1])
+    wo_b, pdf_b = matball.sample(k2, wi_l)
+    is_ball = mat_id == MAT_BALL
+    wo = jnp.where(is_ball[..., None], wo_b, wo_d)
+    pdf = jnp.where(is_ball, pdf_b, pdf_d)
+    return wo, pdf
+
+
+@partial(
+    jax.jit,
+    static_argnames=("matball", "width", "height", "spp_chunk", "max_depth", "mesh"),
+)
+def render_pass(
+    bvh: BVHArrays,
+    env: EnvMap,
+    cam_vectors: jnp.ndarray,
+    key: jax.Array,
+    *,
+    matball: MatballFns,
+    width: int,
+    height: int,
+    spp_chunk: int = 4,
+    max_depth: int = 12,
+    mesh=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One accumulation pass (`mi.render(scene, spp=4, seed=i)` equivalent,
+    `brdf_measured_disk.py:151-155`). Returns (film_sum, sample_count).
+
+    With a `mesh`, the ray wavefront is sharded over its "data" axis —
+    scene arrays replicate (the matpreview scene is MBs), every bounce's
+    traversal/shading runs on local shards, and only the film segment-sum
+    crosses chips (the SURVEY §2.3 ray-sharding design). The wavefront
+    size W*H*spp_chunk must divide by the mesh size.
+    """
+    k_cam, k_path = jax.random.split(key)
+    ro, rd, px = generate_rays(cam_vectors, width, height, k_cam, spp_chunk)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+        ro, rd, px = (jax.lax.with_sharding_constraint(x, shard) for x in (ro, rd, px))
+    n = ro.shape[0]
+
+    L = jnp.zeros((n, 3))
+    beta = jnp.ones((n, 3))
+    alive = jnp.ones((n,), bool)
+    prev_pdf = jnp.zeros((n,))  # 0 => delta/camera ray: no MIS on env hit
+
+    for depth in range(max_depth):
+        k_nee, k_bsdf, k_rr, k_path = jax.random.split(
+            jax.random.fold_in(k_path, depth), 4
+        )
+        hit = intersect(bvh, ro, rd)
+        miss = hit.t >= 1e29
+
+        # escaped rays collect the envmap, MIS-weighted against the
+        # previous bounce's BSDF pdf
+        le = eval_env(env, rd)
+        w_env = jnp.where(prev_pdf > 0, mis_weight(prev_pdf, pdf_env(env, rd)), 1.0)
+        L = L + beta * le * (w_env * (alive & miss))[..., None]
+        alive = alive & ~miss
+
+        # surface interaction
+        prim = hit.prim
+        u, v = hit.u, hit.v
+        w0 = 1.0 - u - v
+        n_sh = (
+            w0[:, None] * bvh.n0[prim]
+            + u[:, None] * bvh.n1[prim]
+            + v[:, None] * bvh.n2[prim]
+        )
+        n_sh = n_sh / jnp.maximum(jnp.linalg.norm(n_sh, axis=-1, keepdims=True), 1e-12)
+        uv = (
+            w0[:, None] * bvh.uv0[prim]
+            + u[:, None] * bvh.uv1[prim]
+            + v[:, None] * bvh.uv2[prim]
+        )
+        mat_id = bvh.material_id[prim]
+        p_hit = ro + rd * hit.t[:, None]
+        t, bt = make_frame(n_sh)
+        wi_l = to_local(n_sh, t, bt, -rd)
+        alive = alive & (wi_l[..., 2] > 0)
+
+        # ---- NEE: sample the envmap, shadow-test, MIS
+        u_nee = jax.random.uniform(k_nee, (n, 2))
+        d_env, le_nee, pdf_e = sample_env(env, u_nee)
+        wo_nee_l = to_local(n_sh, t, bt, d_env)
+        f_nee = _shade_eval(matball, mat_id, uv, wi_l, wo_nee_l)
+        pdf_b_at_nee = _shade_pdf(matball, mat_id, wi_l, wo_nee_l)
+        shadow_o = p_hit + n_sh * RAY_EPS
+        occ = occluded(bvh, shadow_o, d_env, jnp.full((n,), 1e6))
+        nee_ok = alive & ~occ & (pdf_e > 1e-9) & (wo_nee_l[..., 2] > 0)
+        contrib = beta * f_nee * (le_nee / jnp.maximum(pdf_e, 1e-9)[..., None])
+        contrib = contrib * mis_weight(pdf_e, pdf_b_at_nee)[..., None]
+        L = L + jnp.where(nee_ok[..., None], contrib, 0.0)
+
+        # ---- BSDF sampling
+        wo_l, pdf_b = _shade_sample(matball, k_bsdf, mat_id, wi_l)
+        f_b = _shade_eval(matball, mat_id, uv, wi_l, wo_l)
+        ok = alive & (pdf_b > 1e-9) & (wo_l[..., 2] > 0)
+        w_rgb = f_b / jnp.maximum(pdf_b, 1e-9)[..., None]
+        is_ball = mat_id == MAT_BALL
+        w_rgb = jnp.where(is_ball[..., None], matball.weight_filter(w_rgb), w_rgb)
+        beta = jnp.where(ok[..., None], beta * w_rgb, beta)
+        alive = alive & ok & (jnp.max(w_rgb, axis=-1) > 0)
+
+        rd = to_world(n_sh, t, bt, wo_l)
+        ro = p_hit + n_sh * RAY_EPS
+        prev_pdf = jnp.where(alive, pdf_b, 0.0)
+
+        # ---- Russian roulette
+        if depth >= RR_DEPTH:
+            q = jnp.minimum(jnp.max(beta, axis=-1), RR_MAX)
+            live = jax.random.uniform(k_rr, (n,)) < q
+            beta = beta / jnp.maximum(q, 1e-9)[..., None]
+            alive = alive & live
+
+    return accumulate_film(px, L, width, height)
+
+
+def render(
+    scene: Scene,
+    matball: MatballFns,
+    seed: int = 0,
+    spp: int = 512,
+    spp_chunk: int = 4,
+    max_depth: int = 12,
+    mesh=None,
+):
+    """Full multi-pass render (the 128x accumulation loop of
+    `brdf_measured_disk.py:146-163`). Returns (H, W, 3) numpy image."""
+    import numpy as np
+
+    passes = max(spp // spp_chunk, 1)
+    img_sum = None
+    cnt_sum = None
+    key = jax.random.key(seed)
+    cam_vecs = scene.camera.vectors
+    for i in range(passes):
+        img, cnt = render_pass(
+            scene.bvh, scene.envmap, cam_vecs, jax.random.fold_in(key, i),
+            matball=matball, width=scene.camera.width, height=scene.camera.height,
+            spp_chunk=spp_chunk, max_depth=max_depth, mesh=mesh,
+        )
+        img_sum = img if img_sum is None else img_sum + img
+        cnt_sum = cnt if cnt_sum is None else cnt_sum + cnt
+    return np.asarray(img_sum / jnp.maximum(cnt_sum, 1.0)[..., None])
+
+
+def measured_matball(brdf, firefly_clamp: float = 30.0) -> MatballFns:
+    """Ground-truth matball: the RGL measured BRDF importance-samples
+    itself — the renderer's golden-image mode (stands in for the Mitsuba
+    `measured` plugin renders the paper compares against)."""
+    from bsdf_diffusion_sampling_tpu.bsdf.measured import eval_brdf, pdf_brdf, sample_brdf
+
+    def sample(key, wi_l):
+        u = jax.random.uniform(key, wi_l.shape[:-1] + (2,), minval=1e-6,
+                               maxval=1.0 - 1e-6)
+        return sample_brdf(brdf, u, wi_l)
+
+    def clamp(w_rgb):
+        lum = 0.2126 * w_rgb[..., 0] + 0.7152 * w_rgb[..., 1] + 0.0722 * w_rgb[..., 2]
+        return jnp.where((lum < firefly_clamp)[..., None], w_rgb, 0.0)
+
+    return MatballFns(
+        sample=sample,
+        eval=lambda wi, wo: eval_brdf(brdf, wi, wo),
+        pdf=lambda wi, wo: pdf_brdf(brdf, wi, wo),
+        weight_filter=clamp,
+    )
+
+
+def neural_matball(nb) -> MatballFns:
+    """Neural matball: ODE sample/pdf, measured eval — the reference's
+    MyBSDF wiring (`brdf_measured_disk.py:59-124`)."""
+    from bsdf_diffusion_sampling_tpu.render.neural import (
+        firefly_filter,
+        neural_eval,
+        neural_pdf,
+        neural_sample,
+    )
+
+    return MatballFns(
+        sample=lambda key, wi: neural_sample(nb, key, wi),
+        eval=lambda wi, wo: neural_eval(nb, wi, wo),
+        pdf=lambda wi, wo: neural_pdf(nb, wi, wo),
+        weight_filter=lambda w: firefly_filter(nb, w),
+    )

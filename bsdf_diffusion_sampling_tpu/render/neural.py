@@ -1,0 +1,131 @@
+"""Neural BSDF adapter — the reference's `MyBSDF` plugin re-designed as
+pure functions over the ODE sampler.
+
+Reference semantics (`/root/reference/rendering/brdf_measured_disk.py:31-130`):
+- sample(): draw omega_o from the rectified flow in disk coords given the
+  local incident direction, reject samples outside the valid disk
+  (r^2 > 0.995), lift to a direction, convert the disk-area pdf to solid
+  angle (x cos_theta_o), weight = f_measured / pdf, and zero out fireflies
+  where luminance(f/pdf) >= 30.
+- pdf(): reverse-ODE query x cos_theta_o.
+- eval(): the measured RGL BRDF (ground truth), `brdf_measured_disk.py:103-110`.
+
+The spherical variant works in (theta, phi) with a 1/sin(theta) solid-angle
+factor and pole guards (`brdf_measured_spherical.py:79-91`).
+
+All functions take LOCAL (shading-frame) directions, batched (N, 3).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bsdf_diffusion_sampling_tpu.bsdf.measured import MeasuredBRDF, eval_brdf
+from bsdf_diffusion_sampling_tpu.core.config import ModelConfig, SamplerConfig
+from bsdf_diffusion_sampling_tpu.geometry.coords import (
+    cart_to_spher,
+    disk_to_cart,
+    spher_to_cart,
+)
+from bsdf_diffusion_sampling_tpu.models.velocity import encode_condition
+from bsdf_diffusion_sampling_tpu.ode import ode_pdf, ode_sample
+
+
+class NeuralBSDF(NamedTuple):
+    domain: str  # "disk" | "spherical"
+    cfg: ModelConfig
+    v_params: list  # rectified velocity net
+    base_params: dict
+    brdf: MeasuredBRDF  # ground-truth eval
+    T: int
+    firefly_clamp: float
+    disk_valid_r2: float = 0.995
+    pole_sin_eps: float = 5e-5
+
+
+def make_neural_bsdf(
+    domain: str,
+    cfg: ModelConfig,
+    v_params,
+    base_params,
+    brdf: MeasuredBRDF,
+    sampler_cfg: SamplerConfig = SamplerConfig(),
+) -> NeuralBSDF:
+    T = sampler_cfg.T_disk if domain == "disk" else sampler_cfg.T_spherical
+    return NeuralBSDF(
+        domain=domain,
+        cfg=cfg,
+        v_params=v_params,
+        base_params=base_params,
+        brdf=brdf,
+        T=T,
+        firefly_clamp=sampler_cfg.firefly_clamp_disk,
+        disk_valid_r2=sampler_cfg.disk_valid_r2,
+        pole_sin_eps=sampler_cfg.pole_sin_eps,
+    )
+
+
+def _wi_coords(nb: NeuralBSDF, wi_local: jnp.ndarray) -> jnp.ndarray:
+    if nb.domain == "disk":
+        return wi_local[..., :2]
+    return cart_to_spher(wi_local)
+
+
+def neural_sample(
+    nb: NeuralBSDF, key: jax.Array, wi_local: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(wo_local, pdf_solid_angle). Invalid draws carry pdf 0."""
+    omega_i = _wi_coords(nb, wi_local)
+    cond = encode_condition(omega_i, nb.cfg)
+    x, pdf = ode_sample(nb.domain, nb.v_params, nb.base_params, omega_i, cond,
+                        key, nb.T)
+    if nb.domain == "disk":
+        r2 = jnp.sum(x**2, axis=-1)
+        valid = r2 <= nb.disk_valid_r2  # `brdf_measured_disk.py:69-71`
+        wo = disk_to_cart(x)
+        pdf_sa = pdf * jnp.maximum(wo[..., 2], 0.0)  # `:82`
+    else:
+        theta, phi = x[..., 0], x[..., 1]
+        sin_t = jnp.sin(theta)
+        valid = (sin_t > nb.pole_sin_eps) & (theta > 0) & (theta < jnp.pi / 2)
+        wo = spher_to_cart(theta, phi)
+        pdf_sa = pdf * jnp.clip(
+            1.0 / jnp.maximum(sin_t, nb.pole_sin_eps), 0.0, 1e6
+        )  # `brdf_measured_spherical.py:89-91`
+    valid &= wi_local[..., 2] > 0
+    return wo, jnp.where(valid, jnp.maximum(pdf_sa, 0.0), 0.0)
+
+
+def neural_pdf(nb: NeuralBSDF, wi_local: jnp.ndarray, wo_local: jnp.ndarray) -> jnp.ndarray:
+    omega_i = _wi_coords(nb, wi_local)
+    cond = encode_condition(omega_i, nb.cfg)
+    if nb.domain == "disk":
+        x = wo_local[..., :2]
+        jac = jnp.maximum(wo_local[..., 2], 0.0)
+    else:
+        x = cart_to_spher(wo_local)
+        sin_t = jnp.sin(x[..., 0])
+        jac = jnp.clip(1.0 / jnp.maximum(sin_t, nb.pole_sin_eps), 0.0, 1e6)
+    pdf = ode_pdf(nb.domain, nb.v_params, nb.base_params, x, omega_i, cond, nb.T)
+    valid = (wi_local[..., 2] > 0) & (wo_local[..., 2] > 0)
+    return jnp.where(valid, jnp.maximum(pdf * jac, 0.0), 0.0)
+
+
+def neural_eval(nb: NeuralBSDF, wi_local: jnp.ndarray, wo_local: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) ground-truth measured f * cos (`brdf_measured_disk.py:103-110`)."""
+    return eval_brdf(nb.brdf, wi_local, wo_local)
+
+
+def firefly_filter(nb: NeuralBSDF, weight_rgb: jnp.ndarray) -> jnp.ndarray:
+    """Zero the sample when luminance(f/pdf) exceeds the clamp
+    (`brdf_measured_disk.py:97-100`)."""
+    lum = (
+        0.2126 * weight_rgb[..., 0]
+        + 0.7152 * weight_rgb[..., 1]
+        + 0.0722 * weight_rgb[..., 2]
+    )
+    ok = lum < nb.firefly_clamp
+    return jnp.where(ok[..., None], weight_rgb, 0.0)
