@@ -30,8 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scene", default=SCENE_DEFAULT)
     p.add_argument("--material", default="chm_mint_rgb")
     p.add_argument("--bsdf-dir", default=BSDF_DIR_DEFAULT)
-    p.add_argument("--mode", choices=["gt", "neural-disk", "neural-spherical"],
-                   default="gt")
+    p.add_argument("--mode",
+                   choices=["gt", "neural-disk", "neural-spherical",
+                            "neural-sphere"],
+                   default="gt",
+                   help="gt: measured (scene_measured) or analytic principled"
+                        " (scene_bsdf) sampling; neural-*: trained sampler")
     p.add_argument("--checkpoint", default="",
                    help="final.npz from cli.train (required for neural modes)")
     p.add_argument("--spp", type=int, default=64)
@@ -62,21 +66,34 @@ def main(argv=None):
     from bsdf_diffusion_sampling_tpu.render.scene import load_scene
 
     scene = load_scene(args.scene, width=args.width, height=args.height)
-    brdf = load_measured(os.path.join(args.bsdf_dir, args.material + ".bsdf"))
+    table_scene = scene.desc.matball_idx >= 0  # scene_bsdf.xml style
+    brdf = None
+    mat = albedo = None
+    if table_scene:
+        from bsdf_diffusion_sampling_tpu.bsdf.materials import BSDF_MATERIALS
+
+        mat = BSDF_MATERIALS[scene.desc.matball_idx]
+        albedo = scene.desc.matball_albedo
+    else:
+        brdf = load_measured(os.path.join(args.bsdf_dir, args.material + ".bsdf"))
 
     if args.mode == "gt":
-        mb = measured_matball(brdf)
+        from bsdf_diffusion_sampling_tpu.render.integrator import principled_matball
+
+        mb = principled_matball(mat, albedo) if table_scene else measured_matball(brdf)
     else:
         import jax
 
         from bsdf_diffusion_sampling_tpu.core.config import ModelConfig
         from bsdf_diffusion_sampling_tpu.models import get_base, velocity_init
+        from bsdf_diffusion_sampling_tpu.render.integrator import neural_matball_sphere
         from bsdf_diffusion_sampling_tpu.render.neural import make_neural_bsdf
         from bsdf_diffusion_sampling_tpu.train import checkpoint as ckpt
 
-        domain = "disk" if args.mode == "neural-disk" else "spherical"
+        domain = {"neural-disk": "disk", "neural-spherical": "spherical",
+                  "neural-sphere": "sphere_full"}[args.mode]
         cfg = (ModelConfig(domain="disk") if domain == "disk"
-               else ModelConfig(domain="spherical", velocity_hidden=32,
+               else ModelConfig(domain=domain, velocity_hidden=32,
                                 velocity_layers=4))
         base = get_base(domain)
         template = {
@@ -88,7 +105,10 @@ def main(argv=None):
         template["teacher"] = template["diffusion"]
         params, _ = ckpt.load_pytree(args.checkpoint, template)
         nb = make_neural_bsdf(domain, cfg, params["rectified"], params["base"], brdf)
-        mb = neural_matball(nb)
+        if args.mode == "neural-sphere":
+            mb = neural_matball_sphere(nb, mat, albedo)
+        else:
+            mb = neural_matball(nb)
 
     t0 = time.perf_counter()
     img = render(scene, mb, seed=args.seed, spp=args.spp,

@@ -237,6 +237,214 @@ def _fused_call(
     )(s_packed, c_packed, w_packed)
 
 
+# ------------------------------------------------------- fully fused ----
+#
+# fused_sample_pdf_disk: the ENTIRE render-time sample()+pdf() call in one
+# kernel — base-density heads (a biased 2-layer MLP over the first 14
+# condition columns, `model.py:374-398`), the Gaussian draw (in-kernel
+# Box-Muller over pltpu.prng_random_bits), the T-step ODE with per-step
+# Jacobian dets, and the final p0/det assembly. Removes the separate
+# XLA base-draw dispatch which costs more than the whole kernel.
+#
+# Bias handling: the base net has biases (velocity nets do not); the packed
+# condition rows carry a constant 1.0 at the last blockcol, and the bias
+# vector rides in that row of the packed weight.
+
+_ONE_COL = -1  # constant-one lane: last column of each block
+
+
+def _pack_base_weights(base_params: dict, block: int) -> jnp.ndarray:
+    """(2, 128, 128) packed base-head weights.
+
+    Layer 0: rows 3:3+14 <- W0 (PE(omega_i, 3 bands) occupies the first 14
+    condition columns, which start at blockcol 3 for the disk layout);
+    row block-1 <- b0. Layer 1: rows 0:16 <- W1, row block-1 <- b1. Output
+    cols 0:4 = (loc0, loc1, ls0, ls1). The constant-one lane is preserved
+    through layer 0 by a 1.0 at [block-1, block-1] (silu(1) != 1 is
+    compensated by rescaling layer-1's bias row by 1/silu(1)).
+    """
+    w0 = base_params["net"][0]["w"].astype(jnp.float32)  # (14, 16)
+    b0 = base_params["net"][0]["b"].astype(jnp.float32)
+    w1 = base_params["net"][1]["w"].astype(jnp.float32)  # (16, 4)
+    b1 = base_params["net"][1]["b"].astype(jnp.float32)
+    d_in, hid = w0.shape
+    pack = LANES // block
+    eye = jnp.eye(pack, dtype=jnp.float32)
+    silu1 = float(jax.nn.silu(1.0))
+
+    m0 = jnp.zeros((block, block), jnp.float32)
+    m0 = m0.at[3 : 3 + d_in, :hid].set(w0)
+    m0 = m0.at[block - 1, :hid].set(b0)
+    m0 = m0.at[block - 1, block - 1].set(1.0)  # keep the one-lane alive
+    m1 = jnp.zeros((block, block), jnp.float32)
+    m1 = m1.at[:hid, :4].set(w1)
+    m1 = m1.at[block - 1, :4].set(b1 / silu1)  # undo silu on the one-lane
+    return jnp.stack([jnp.kron(eye, m0), jnp.kron(eye, m1)])
+
+
+def _fused_sample_pdf_kernel(
+    seed_ref,  # (1, 1) int32 in SMEM
+    c_ref,  # (TILE, 128) cond at blockcols 3:25, 1.0 at blockcol block-1
+    *rest_refs,  # [eps_ref if not use_prng,] bw_ref, w_ref, out_ref
+    T: int,
+    n_layers: int,
+    block: int,
+    use_prng: bool,
+):
+    if use_prng:
+        bw_ref, w_ref, out_ref = rest_refs
+        eps_ref = None
+    else:
+        # interpret/CPU fallback: Pallas prng_* primitives are TPU-only,
+        # normals are precomputed with jax.random and passed in
+        eps_ref, bw_ref, w_ref, out_ref = rest_refs
+    tile = c_ref.shape[0]
+    h = 1.0 / T
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1) % block
+    is0, is1, is2 = (col == 0), (col == 1), (col == 2)
+    f32 = jnp.float32
+    cond = c_ref[:]
+
+    # ---- base heads: loc at cols 0:2, log_scale at cols 2:4
+    z = jnp.dot(cond, bw_ref[0], preferred_element_type=f32)
+    a = z * jax.nn.sigmoid(z)
+    heads = jnp.dot(a, bw_ref[1], preferred_element_type=f32)
+    loc = jnp.where(col < 2, heads, 0.0)
+    ls = pltpu.roll(jnp.where((col >= 2) & (col < 4), heads, 0.0),
+                    shift=LANES - 2, axis=1)  # log_scale onto cols 0:2
+
+    # ---- in-kernel standard normals (Box-Muller on prng bits)
+    if use_prng:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+
+        def _uniform():
+            bits = pltpu.bitcast(pltpu.prng_random_bits((tile, LANES)), jnp.uint32)
+            # top 24 bits -> [0, 1); via int32 (always positive after the
+            # shift) because Mosaic has no uint32 -> f32 cast
+            top24 = pltpu.bitcast(bits >> 8, jnp.int32)
+            return top24.astype(f32) * (1.0 / (1 << 24))
+
+        u1 = jnp.clip(_uniform(), 1e-7, 1.0 - 1e-7)
+        u2 = _uniform()
+        eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+    else:
+        eps = eps_ref[:]
+
+    x0 = loc + jnp.where(col < 2, eps * jnp.exp(ls), 0.0)
+
+    # log p0 = -log(2pi) - ls0 - ls1 - (eps0^2 + eps1^2)/2 , per sample
+    per_col = jnp.where(col < 2, -ls - 0.5 * eps * eps, 0.0)
+    pair_sum = per_col + pltpu.roll(per_col, shift=LANES - 1, axis=1)
+    log_p0 = jnp.where(is0, pair_sum - jnp.log(2.0 * jnp.pi), 0.0)
+
+    # ---- T-step ODE with per-step dets (disk layout: alpha at col 2)
+    def body(t, carry):
+        s, det = carry
+        alpha = t.astype(f32) * h
+        inp = jnp.where(col < 2, s, 0.0) + jnp.where(is2, alpha, 0.0) + cond
+        t0 = jnp.where(is0, 1.0, 0.0).astype(f32)
+        t1 = jnp.where(is1, 1.0, 0.0).astype(f32)
+        big = jnp.concatenate([inp, t0, t1], axis=0)
+        v, j0, j1 = _mlp_with_tangents(big, w_ref, n_layers, tile)
+        a_ = 1.0 + h * jnp.where(is0, j0, 0.0)
+        b_ = h * jnp.where(is0, j1, 0.0)
+        c_ = pltpu.roll(h * jnp.where(is1, j0, 0.0), shift=LANES - 1, axis=1)
+        d_ = pltpu.roll(1.0 + h * jnp.where(is1, j1, 0.0), shift=LANES - 1, axis=1)
+        det = det * jnp.where(is0, a_ * d_ - b_ * c_, 1.0)
+        return s + h * jnp.where(col < 2, v, 0.0), det
+
+    det0 = jnp.ones((tile, LANES), f32)
+    s_fin, det_fin = jax.lax.fori_loop(0, T, body, (x0, det0))
+
+    pdf = jnp.where(is0, jnp.exp(log_p0) / det_fin, 0.0)
+    out = jnp.where(col < 2, s_fin, 0.0)
+    out = out + pltpu.roll(pdf, shift=2, axis=1)  # pdf -> col 2
+    out = out + pltpu.roll(jnp.where(col < 2, x0, 0.0), shift=4, axis=1)  # x0 -> 4:6
+    out_ref[:] = out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T", "n_layers", "block", "tile", "use_prng")
+)
+def _fused_sample_pdf_call(seed, c_packed, eps_packed, bw_packed, w_packed, *,
+                           T, n_layers, block, tile, use_prng):
+    n_rows = c_packed.shape[0]
+    grid = (n_rows // tile,)
+    kernel = functools.partial(
+        _fused_sample_pdf_kernel, T=T, n_layers=n_layers, block=block,
+        use_prng=use_prng,
+    )
+    tile_spec = pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        tile_spec,
+    ]
+    args = [seed, c_packed]
+    if not use_prng:
+        in_specs.append(tile_spec)
+        args.append(eps_packed)
+    in_specs += [
+        pl.BlockSpec((2, LANES, LANES), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (w_packed.shape[0], LANES, LANES), lambda i: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args += [bw_packed, w_packed]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tile_spec,
+        interpret=_INTERPRET,
+    )(*args)
+
+
+def fused_sample_pdf_disk(
+    v_params: List[dict],
+    base_params: dict,
+    cond_enc: jnp.ndarray,
+    seed,
+    T: int,
+    tile: int = 256,
+    eps: jnp.ndarray | None = None,
+):
+    """One-kernel disk-domain sample+pdf: (x, pdf, x0) for (N, 22) cond_enc.
+
+    On TPU the Gaussian draw happens in-kernel (Pallas PRNG, seeded by
+    `seed` + tile index). Pass `eps` (N, 2) standard normals to override —
+    required in interpret mode (CPU), where the Pallas PRNG primitives
+    don't exist. The in-kernel stream differs from jax.random, so x0 is
+    returned for exact downstream verification. Functionally equivalent to
+    `ode.ode_sample` (`mlp_brdf_sampling.py:17-51`).
+    """
+    n = cond_enc.shape[0]
+    block = _block_size(v_params)
+    pack = LANES // block
+    n_pad = ((n + tile * pack - 1) // (tile * pack)) * (tile * pack)
+
+    c_packed = _pack_rows(cond_enc.astype(jnp.float32), 3, block, n_pad)
+    ones_col = jnp.zeros((n_pad, block), jnp.float32).at[:, block - 1].set(1.0)
+    c_packed = c_packed + ones_col.reshape(n_pad // pack, LANES)
+    bw_packed = _pack_base_weights(base_params, block)
+    w_packed = pack_weights(v_params, block)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    use_prng = eps is None
+    eps_packed = (
+        jnp.zeros((n_pad // pack, LANES), jnp.float32)
+        if use_prng
+        else _pack_rows(eps.astype(jnp.float32), 0, block, n_pad)
+    )
+
+    out = _fused_sample_pdf_call(
+        seed_arr, c_packed, eps_packed, bw_packed, w_packed,
+        T=T, n_layers=len(v_params), block=block, tile=tile, use_prng=use_prng,
+    )
+    rows = _unpack_rows(out, n, block)
+    return rows[:, 0:2], rows[:, 2], rows[:, 4:6]
+
+
 def fused_ode_transport(
     domain: str,
     v_params: List[dict],

@@ -58,6 +58,7 @@ class MatballFns(NamedTuple):
     eval: Callable  # (wi_local, wo_local) -> (N, 3) f*cos
     pdf: Callable  # (wi_local, wo_local) -> (N,)
     weight_filter: Callable  # (rgb_weight) -> rgb_weight (firefly policy)
+    transmissive: bool = False  # full-sphere BSDF (wo may go below surface)
 
 
 def mis_weight(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray) -> jnp.ndarray:
@@ -177,9 +178,14 @@ def render_pass(
         wo_nee_l = to_local(n_sh, t, bt, d_env)
         f_nee = _shade_eval(matball, mat_id, uv, wi_l, wo_nee_l)
         pdf_b_at_nee = _shade_pdf(matball, mat_id, wi_l, wo_nee_l)
-        shadow_o = p_hit + n_sh * RAY_EPS
+        nee_below_ok = matball.transmissive & (mat_id == MAT_BALL)
+        shadow_o = p_hit + n_sh * jnp.where(
+            wo_nee_l[..., 2] >= 0, RAY_EPS, -RAY_EPS
+        )[..., None]
         occ = occluded(bvh, shadow_o, d_env, jnp.full((n,), 1e6))
-        nee_ok = alive & ~occ & (pdf_e > 1e-9) & (wo_nee_l[..., 2] > 0)
+        nee_ok = alive & ~occ & (pdf_e > 1e-9) & (
+            (wo_nee_l[..., 2] > 0) | nee_below_ok
+        )
         contrib = beta * f_nee * (le_nee / jnp.maximum(pdf_e, 1e-9)[..., None])
         contrib = contrib * mis_weight(pdf_e, pdf_b_at_nee)[..., None]
         L = L + jnp.where(nee_ok[..., None], contrib, 0.0)
@@ -187,15 +193,16 @@ def render_pass(
         # ---- BSDF sampling
         wo_l, pdf_b = _shade_sample(matball, k_bsdf, mat_id, wi_l)
         f_b = _shade_eval(matball, mat_id, uv, wi_l, wo_l)
-        ok = alive & (pdf_b > 1e-9) & (wo_l[..., 2] > 0)
-        w_rgb = f_b / jnp.maximum(pdf_b, 1e-9)[..., None]
         is_ball = mat_id == MAT_BALL
+        wo_up_ok = (wo_l[..., 2] > 0) | (matball.transmissive & is_ball)
+        ok = alive & (pdf_b > 1e-9) & wo_up_ok
+        w_rgb = f_b / jnp.maximum(pdf_b, 1e-9)[..., None]
         w_rgb = jnp.where(is_ball[..., None], matball.weight_filter(w_rgb), w_rgb)
         beta = jnp.where(ok[..., None], beta * w_rgb, beta)
         alive = alive & ok & (jnp.max(w_rgb, axis=-1) > 0)
 
         rd = to_world(n_sh, t, bt, wo_l)
-        ro = p_hit + n_sh * RAY_EPS
+        ro = p_hit + n_sh * jnp.where(wo_l[..., 2] >= 0, RAY_EPS, -RAY_EPS)[..., None]
         prev_pdf = jnp.where(alive, pdf_b, 0.0)
 
         # ---- Russian roulette
@@ -275,4 +282,74 @@ def neural_matball(nb) -> MatballFns:
         eval=lambda wi, wo: neural_eval(nb, wi, wo),
         pdf=lambda wi, wo: neural_pdf(nb, wi, wo),
         weight_filter=lambda w: firefly_filter(nb, w),
+    )
+
+
+def principled_matball(mat, albedo=(1.0, 1.0, 1.0),
+                       firefly_clamp: float = 3.5) -> MatballFns:
+    """Ground-truth full-sphere matball: analytic principled/dielectric
+    eval x albedo tint (`bsdf_myresult.py:44-46,96-97`), sampled with a
+    two-sided cosine mixture (upper + lower hemisphere when the material
+    transmits) — correct-by-MIS reference mode for scene_bsdf.xml."""
+    from bsdf_diffusion_sampling_tpu.bsdf.materials import eval_material
+    from bsdf_diffusion_sampling_tpu.bsdf.principled import PrincipledParams
+    from bsdf_diffusion_sampling_tpu.render.lambert import cosine_sample
+
+    albedo_v = jnp.asarray(albedo, jnp.float32)
+    transmits = (not isinstance(mat, PrincipledParams)) or mat.spec_trans > 0
+    p_up = 0.5  # upper-hemisphere probability of the two-sided mixture
+
+    def _eval(wi, wo):
+        f = eval_material(mat, wi, wo)
+        if f.ndim == wi.ndim - 1:  # scalar materials broadcast to rgb
+            f = f[..., None] * jnp.ones((3,), jnp.float32)
+        return f * albedo_v
+
+    def sample(key, wi):
+        k1, k2 = jax.random.split(key)
+        wo, pdf = cosine_sample(k1, wi.shape[:-1])
+        if transmits:
+            go_down = jax.random.uniform(k2, wi.shape[:-1]) > p_up
+            wo = jnp.where(go_down[..., None], wo * jnp.array([1.0, 1.0, -1.0]), wo)
+            pdf = jnp.abs(wo[..., 2]) / jnp.pi * 0.5  # 50/50 mirrored cosine
+        return wo, pdf
+
+    def pdf(wi, wo):
+        base = jnp.abs(wo[..., 2]) / jnp.pi
+        if transmits:
+            return base * 0.5
+        return jnp.where(wo[..., 2] > 0, base, 0.0)
+
+    def clamp(w_rgb):
+        lum = 0.2126 * w_rgb[..., 0] + 0.7152 * w_rgb[..., 1] + 0.0722 * w_rgb[..., 2]
+        return jnp.where((lum < firefly_clamp)[..., None], w_rgb, 0.0)
+
+    return MatballFns(sample=sample, eval=_eval, pdf=pdf, weight_filter=clamp,
+                      transmissive=transmits)
+
+
+def neural_matball_sphere(nb, mat, albedo=(1.0, 1.0, 1.0)) -> MatballFns:
+    """Full-sphere neural matball: neural spherical sample/pdf + analytic
+    principled eval x albedo (`bsdf_myresult.py:41-139`)."""
+    from bsdf_diffusion_sampling_tpu.bsdf.materials import eval_material
+    from bsdf_diffusion_sampling_tpu.render.neural import (
+        firefly_filter,
+        neural_pdf,
+        neural_sample,
+    )
+
+    albedo_v = jnp.asarray(albedo, jnp.float32)
+
+    def _eval(wi, wo):
+        f = eval_material(mat, wi, wo)
+        if f.ndim == wi.ndim - 1:
+            f = f[..., None] * jnp.ones((3,), jnp.float32)
+        return f * albedo_v
+
+    return MatballFns(
+        sample=lambda key, wi: neural_sample(nb, key, wi),
+        eval=_eval,
+        pdf=lambda wi, wo: neural_pdf(nb, wi, wo),
+        weight_filter=lambda w: firefly_filter(nb, w),
+        transmissive=True,
     )

@@ -55,6 +55,11 @@ def make_neural_bsdf(
     sampler_cfg: SamplerConfig = SamplerConfig(),
 ) -> NeuralBSDF:
     T = sampler_cfg.T_disk if domain == "disk" else sampler_cfg.T_spherical
+    clamp = (
+        sampler_cfg.firefly_clamp_sphere  # `bsdf_myresult.py:102`
+        if domain == "sphere_full"
+        else sampler_cfg.firefly_clamp_disk  # `brdf_measured_disk.py:98`
+    )
     return NeuralBSDF(
         domain=domain,
         cfg=cfg,
@@ -62,7 +67,7 @@ def make_neural_bsdf(
         base_params=base_params,
         brdf=brdf,
         T=T,
-        firefly_clamp=sampler_cfg.firefly_clamp_disk,
+        firefly_clamp=clamp,
         disk_valid_r2=sampler_cfg.disk_valid_r2,
         pole_sin_eps=sampler_cfg.pole_sin_eps,
     )
@@ -90,7 +95,10 @@ def neural_sample(
     else:
         theta, phi = x[..., 0], x[..., 1]
         sin_t = jnp.sin(theta)
-        valid = (sin_t > nb.pole_sin_eps) & (theta > 0) & (theta < jnp.pi / 2)
+        # hemisphere for BRDFs, full sphere for transmissive BSDFs
+        # (`bsdf_correct_sampling.py` trains theta in [0, pi])
+        theta_max = jnp.pi if nb.domain == "sphere_full" else jnp.pi / 2
+        valid = (sin_t > nb.pole_sin_eps) & (theta > 0) & (theta < theta_max)
         wo = spher_to_cart(theta, phi)
         pdf_sa = pdf * jnp.clip(
             1.0 / jnp.maximum(sin_t, nb.pole_sin_eps), 0.0, 1e6
@@ -110,7 +118,9 @@ def neural_pdf(nb: NeuralBSDF, wi_local: jnp.ndarray, wo_local: jnp.ndarray) -> 
         sin_t = jnp.sin(x[..., 0])
         jac = jnp.clip(1.0 / jnp.maximum(sin_t, nb.pole_sin_eps), 0.0, 1e6)
     pdf = ode_pdf(nb.domain, nb.v_params, nb.base_params, x, omega_i, cond, nb.T)
-    valid = (wi_local[..., 2] > 0) & (wo_local[..., 2] > 0)
+    valid = wi_local[..., 2] > 0
+    if nb.domain != "sphere_full":
+        valid &= wo_local[..., 2] > 0
     return jnp.where(valid, jnp.maximum(pdf * jac, 0.0), 0.0)
 
 

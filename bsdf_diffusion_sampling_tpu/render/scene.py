@@ -46,7 +46,9 @@ class SceneDesc:
     envmap_to_world: np.ndarray
     envmap_scale: float
     shapes: List[dict] = field(default_factory=list)  # filename/index/to_world/mat
-    matball_bsdf: str = ""  # the mybsdf "filename" (material name) if present
+    matball_bsdf: str = ""  # mybsdf "filename" (measured material) if present
+    matball_idx: int = -1  # mybsdf "idx" (material-table entry) if present
+    matball_albedo: tuple = (1.0, 1.0, 1.0)  # mybsdf tint (scene_bsdf.xml:61)
 
 
 class Scene(NamedTuple):
@@ -152,13 +154,25 @@ def parse_scene_xml(path: str, spp: Optional[int] = None,
         if f.get("name") == "scale":
             e_scale = float(f.get("value"))
 
-    # matball bsdf name (the mybsdf hook)
+    # matball bsdf hook: either a measured-material filename
+    # (scene_measured.xml:60-62) or a table index + albedo tint
+    # (scene_bsdf.xml:60-61)
     matball_bsdf = ""
+    matball_idx = -1
+    matball_albedo = (1.0, 1.0, 1.0)
     for b in root.findall("bsdf"):
         if b.get("type") == "mybsdf":
             for s in b.findall("string"):
                 if s.get("name").strip() == "filename":
                     matball_bsdf = s.get("value").strip()
+            for s in b.findall("integer"):
+                if s.get("name").strip() == "idx":
+                    matball_idx = int(s.get("value"))
+            for s in b.findall("vector"):
+                if s.get("name").strip() == "albedo":
+                    matball_albedo = tuple(
+                        float(v) for v in s.get("value").split(",")
+                    )
 
     # shapes
     mat_of_ref = {
@@ -183,7 +197,8 @@ def parse_scene_xml(path: str, spp: Optional[int] = None,
     return SceneDesc(
         camera=cam, width=w, height=h, spp=spp_v, max_depth=max_depth,
         envmap_path=env_file, envmap_to_world=env_tf, envmap_scale=e_scale,
-        shapes=shapes, matball_bsdf=matball_bsdf,
+        shapes=shapes, matball_bsdf=matball_bsdf, matball_idx=matball_idx,
+        matball_albedo=matball_albedo,
     )
 
 
