@@ -92,17 +92,21 @@ def main(argv=None):
 
         domain = {"neural-disk": "disk", "neural-spherical": "spherical",
                   "neural-sphere": "sphere_full"}[args.mode]
-        cfg = (ModelConfig(domain="disk") if domain == "disk"
-               else ModelConfig(domain=domain, velocity_hidden=32,
-                                velocity_layers=4))
+        if domain == "disk":
+            cfg = ModelConfig(domain="disk")
+            teacher_cfg = cfg  # disk self-distills
+        else:
+            cfg = ModelConfig(domain=domain, velocity_hidden=32,
+                              velocity_layers=4)
+            teacher_cfg = ModelConfig(domain=domain, velocity_hidden=64,
+                                      velocity_layers=6)
         base = get_base(domain)
         template = {
             "base": base.init(jax.random.key(0)),
             "diffusion": velocity_init(jax.random.key(0), cfg),
-            "teacher": None,
+            "teacher": velocity_init(jax.random.key(0), teacher_cfg),
             "rectified": velocity_init(jax.random.key(0), cfg),
         }
-        template["teacher"] = template["diffusion"]
         params, _ = ckpt.load_pytree(args.checkpoint, template)
         nb = make_neural_bsdf(domain, cfg, params["rectified"], params["base"], brdf)
         if args.mode == "neural-sphere":
