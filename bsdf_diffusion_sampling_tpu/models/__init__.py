@@ -10,3 +10,12 @@ from bsdf_diffusion_sampling_tpu.models.velocity import (  # noqa: F401
     velocity_apply,
     velocity_init,
 )
+from bsdf_diffusion_sampling_tpu.models.zoo import (  # noqa: F401
+    gmm_disk_base,
+    make_regressor,
+    mixture_spherical_base,
+    unet_apply,
+    unet_init,
+    velocity_pe_x_apply,
+    velocity_pe_x_init,
+)
