@@ -445,6 +445,68 @@ def fused_sample_pdf_disk(
     return rows[:, 0:2], rows[:, 2], rows[:, 4:6]
 
 
+def make_fused_sample_pdf_disk(
+    v_params: List[dict],
+    base_params: dict,
+    cond_enc: jnp.ndarray,
+    T: int,
+    tile: int = 256,
+    eps: jnp.ndarray | None = None,
+):
+    """Prepacked closure for repeated calls with a fixed wavefront.
+
+    `fused_sample_pdf_disk` re-packs weights and the condition encoding on
+    every invocation with eager jnp ops; over the tunneled dev backend each
+    eager dispatch costs ~30 ms, which buries the ~6 ms kernel (the render
+    loop and bench call it hundreds of times with the same cond_enc). This
+    factory hoists all packing out and returns ``run(seed_arr) -> (x, pdf,
+    x0)`` whose body is exactly three jitted dispatches: the pallas call
+    and the two-stage unpack. seed_arr must be an int32 (1, 1) device
+    array. Pass `eps` (N, 2) standard normals to bypass the in-kernel PRNG
+    (required in interpret mode on CPU, as in `fused_sample_pdf_disk`).
+    """
+    n = cond_enc.shape[0]
+    block = _block_size(v_params)
+    pack = LANES // block
+    n_pad = ((n + tile * pack - 1) // (tile * pack)) * (tile * pack)
+
+    c_packed = _pack_rows(cond_enc.astype(jnp.float32), 3, block, n_pad)
+    ones_col = jnp.zeros((n_pad, block), jnp.float32).at[:, block - 1].set(1.0)
+    c_packed = c_packed + ones_col.reshape(n_pad // pack, LANES)
+    bw_packed = _pack_base_weights(base_params, block)
+    w_packed = pack_weights(v_params, block)
+    use_prng = eps is None
+    eps_packed = (
+        jnp.zeros((n_pad // pack, LANES), jnp.float32)
+        if use_prng
+        else _pack_rows(eps.astype(jnp.float32), 0, block, n_pad)
+    )
+    jax.block_until_ready((c_packed, bw_packed, w_packed, eps_packed))
+
+    # Two-stage unpack: one wide reshape+slice to (N, 8), then narrow
+    # splits on the small buffer. Emitting the three narrow outputs
+    # directly from the (N/pack, 128) kernel buffer costs ~6.5 ms on v5e
+    # (sub-tile minor dims force padded scatter-writes of the full-size
+    # buffer); via the (N, 8) intermediate the whole unpack is ~1.9 ms.
+    @jax.jit
+    def _compact(out):
+        return out.reshape(-1, block)[:n, :8]
+
+    @jax.jit
+    def _split(m):
+        return m[:, 0:2], m[:, 2], m[:, 4:6]
+
+    def run(seed_arr: jnp.ndarray):
+        out = _fused_sample_pdf_call(
+            seed_arr, c_packed, eps_packed, bw_packed, w_packed,
+            T=T, n_layers=len(v_params), block=block, tile=tile,
+            use_prng=use_prng,
+        )
+        return _split(_compact(out))
+
+    return run
+
+
 def fused_ode_transport(
     domain: str,
     v_params: List[dict],

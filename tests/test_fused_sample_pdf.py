@@ -68,3 +68,21 @@ def test_fused_base_transform_moments(key):
     loc, ls = _disk_heads(b_params, wi)
     z = np.asarray((x0 - loc) / jnp.exp(ls))
     np.testing.assert_allclose(z, np.asarray(eps), rtol=2e-4, atol=1e-5)
+
+
+def test_make_fused_closure_matches_single_call(key):
+    """The prepacked closure must produce bit-identical results to the
+    one-shot fused_sample_pdf_disk for the same eps."""
+    cfg, v_params, base, b_params, omega_i, cond = _setup(key)
+    T = 4
+    eps = jax.random.normal(jax.random.fold_in(key, 11), (cond.shape[0], 2))
+    x1, pdf1, x01 = fused.fused_sample_pdf_disk(
+        v_params, b_params, cond, 3, T, tile=8, eps=eps
+    )
+    run = fused.make_fused_sample_pdf_disk(
+        v_params, b_params, cond, T, tile=8, eps=eps
+    )
+    x2, pdf2, x02 = run(jnp.full((1, 1), 3, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(pdf1), np.asarray(pdf2))
+    np.testing.assert_array_equal(np.asarray(x01), np.asarray(x02))
