@@ -13,9 +13,11 @@ Per batch size prints one JSON line:
    "fused_ms": ..., "mxu_util": ...}
 
 mxu_util is raw kernel FLOPs (including the 4x lane-packing redundancy of
-the block-diagonal weights) over the fp32 MXU peak — the fraction of the
-achievable ceiling for this layout. Override the peak with
-BENCH_PEAK_TFLOPS (default 49.2, v5e bf16 peak / 4 for fp32 operands).
+the block-diagonal weights) over the MXU peak — the fraction of the
+achievable ceiling for this layout. The kernel's default mxu_dtype is
+single-pass bf16, so the peak defaults to 197 TFLOP/s (v5e bf16);
+override with BENCH_PEAK_TFLOPS (use ~49 when sweeping
+--mxu-dtype float32, which forces the 3/6-pass fp32-accurate mode).
 
 Usage:  python -u benchmarks/sweep.py [--batches 14 15 ... 21] [--iters 20]
 """
@@ -51,7 +53,7 @@ def run_sweep(batches, iters, T=4, tile=256):
     from bsdf_diffusion_sampling_tpu.ops import fused_ode
 
     on_tpu = jax.default_backend() == "tpu"
-    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "49.2"))
+    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197.0"))
 
     cfg = ModelConfig(domain="disk")
     key = jax.random.key(0)

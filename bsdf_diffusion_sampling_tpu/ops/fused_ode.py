@@ -27,8 +27,18 @@ encoding (theta, phi) -> (theta, sin phi, cos phi)
 (`mlp_brdf_sampling.py:119-120`) is differentiated in-kernel: tangent
 seeds are d(enc)/d(theta) = (1,0,0) and d(enc)/d(phi) = (0, cos, -sin).
 
-Numerics: fp32 throughout — the det product is the sample's importance
-weight; bf16 drift there shows up as image bias (SURVEY.md §7 hard part b).
+Numerics: activations, state, and det products are fp32 throughout (the
+det product is the sample's importance weight — drift there shows up as
+image bias, SURVEY.md §7 hard part b).
+`mxu_dtype` selects the MXU pass count (see _mxu_precision): the default
+"bfloat16" runs single-pass bf16 matmuls with fp32 accumulation —
+activations, state, and det products all stay fp32, and the measured pdf
+error vs true fp32 is ~2e-5 median / 4e-5 p99 (v5e, T=4, trained-scale
+weights), far below Monte Carlo render noise at 2.1x the throughput
+(118 vs 56 Meval/s). "float32" forces Precision.HIGHEST for exactness
+validation. Note DEFAULT-precision fp32 dots on TPU are single-pass bf16
+ANYWAY — "float32" here means genuinely fp32-accurate, not "what plain
+jnp.dot does".
 """
 
 from __future__ import annotations
@@ -72,11 +82,25 @@ def _silu_and_grad(z):
     return z * s, s * (1.0 + z * (1.0 - s))
 
 
-def _mlp_with_tangents(big, w_ref, n_layers: int, tile: int):
-    """[primal; t0; t1] (3*tile, 128) through the packed MLP."""
+def _mxu_precision(mxu) -> jax.lax.Precision:
+    """On TPU a DEFAULT-precision fp32 dot runs ONE bf16 MXU pass — i.e.
+    operands are silently bf16-rounded. "float32" therefore maps to
+    Precision.HIGHEST (the 3/6-pass bf16 decomposition that recovers fp32
+    accuracy) and "bfloat16" to the fast single-pass DEFAULT."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(mxu) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def _mlp_with_tangents(big, w_ref, n_layers: int, tile: int, mxu=jnp.float32):
+    """[primal; t0; t1] (3*tile, 128) through the packed MLP. `mxu` selects
+    the MXU pass count (fp32 accumulate either way; see _mxu_precision)."""
+    prec = _mxu_precision(mxu)
     for l in range(n_layers):
         w = w_ref[l]
-        z = jnp.dot(big, w, preferred_element_type=jnp.float32)
+        z = jnp.dot(big, w, preferred_element_type=jnp.float32, precision=prec)
         if l + 1 < n_layers:
             a, sp = _silu_and_grad(z[:tile])
             big = jnp.concatenate([a, z[tile:] * jnp.concatenate([sp, sp], 0)], 0)
@@ -85,9 +109,11 @@ def _mlp_with_tangents(big, w_ref, n_layers: int, tile: int):
     return big[:tile], big[tile : 2 * tile], big[2 * tile :]
 
 
-def _mlp_primal(x, w_ref, n_layers: int):
+def _mlp_primal(x, w_ref, n_layers: int, mxu=jnp.float32):
+    prec = _mxu_precision(mxu)
     for l in range(n_layers):
-        z = jnp.dot(x, w_ref[l], preferred_element_type=jnp.float32)
+        z = jnp.dot(x, w_ref[l], preferred_element_type=jnp.float32,
+                    precision=prec)
         x = z * jax.nn.sigmoid(z) if l + 1 < n_layers else z
     return x
 
@@ -104,7 +130,9 @@ def _fused_ode_kernel(
     block: int,
     reverse: bool,
     with_jac: bool,
+    mxu_dtype: str = "bfloat16",
 ):
+    mxu = jnp.dtype(mxu_dtype)
     tile = s_ref.shape[0]
     h = 1.0 / T
     sign = -1.0 if reverse else 1.0
@@ -152,7 +180,7 @@ def _fused_ode_kernel(
         if with_jac:
             t0, t1 = tangent_seeds(s)
             big = jnp.concatenate([inp, t0, t1], axis=0)
-            v, j0, j1 = _mlp_with_tangents(big, w_ref, n_layers, tile)
+            v, j0, j1 = _mlp_with_tangents(big, w_ref, n_layers, tile, mxu)
             # per-sample 2x2 det from blockcols 0/1 of the tangent outputs
             a = 1.0 + sign * h * jnp.where(is0, j0, 0.0)  # d v0/d x0
             b = sign * h * jnp.where(is0, j1, 0.0)        # d v0/d x1
@@ -165,7 +193,7 @@ def _fused_ode_kernel(
             step_det = jnp.where(is0, a * d - b * c, 1.0)
             det = det * jnp.where(is0, step_det, 1.0)
         else:
-            v = _mlp_primal(inp, w_ref, n_layers)
+            v = _mlp_primal(inp, w_ref, n_layers, mxu)
         s = s + sign * h * jnp.where(col < 2, v, 0.0)
         return s, det
 
@@ -196,10 +224,12 @@ def _unpack_rows(rows: jnp.ndarray, n: int, block: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("domain", "T", "n_layers", "block", "reverse", "with_jac", "tile"),
+    static_argnames=("domain", "T", "n_layers", "block", "reverse", "with_jac",
+                     "tile", "mxu_dtype"),
 )
 def _fused_call(
-    s_packed, c_packed, w_packed, *, domain, T, n_layers, block, reverse, with_jac, tile
+    s_packed, c_packed, w_packed, *, domain, T, n_layers, block, reverse,
+    with_jac, tile, mxu_dtype="bfloat16"
 ):
     n_rows = s_packed.shape[0]
     grid = (n_rows // tile,)
@@ -211,6 +241,7 @@ def _fused_call(
         block=block,
         reverse=reverse,
         with_jac=with_jac,
+        mxu_dtype=mxu_dtype,
     )
     streams = 3 if with_jac else 1
     flops = grid[0] * T * n_layers * (streams * tile * LANES * LANES * 2)
@@ -290,7 +321,9 @@ def _fused_sample_pdf_kernel(
     n_layers: int,
     block: int,
     use_prng: bool,
+    mxu_dtype: str = "bfloat16",
 ):
+    mxu = jnp.dtype(mxu_dtype)
     if use_prng:
         bw_ref, w_ref, out_ref = rest_refs
         eps_ref = None
@@ -345,7 +378,7 @@ def _fused_sample_pdf_kernel(
         t0 = jnp.where(is0, 1.0, 0.0).astype(f32)
         t1 = jnp.where(is1, 1.0, 0.0).astype(f32)
         big = jnp.concatenate([inp, t0, t1], axis=0)
-        v, j0, j1 = _mlp_with_tangents(big, w_ref, n_layers, tile)
+        v, j0, j1 = _mlp_with_tangents(big, w_ref, n_layers, tile, mxu)
         a_ = 1.0 + h * jnp.where(is0, j0, 0.0)
         b_ = h * jnp.where(is0, j1, 0.0)
         c_ = pltpu.roll(h * jnp.where(is1, j0, 0.0), shift=LANES - 1, axis=1)
@@ -364,15 +397,17 @@ def _fused_sample_pdf_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("T", "n_layers", "block", "tile", "use_prng")
+    jax.jit,
+    static_argnames=("T", "n_layers", "block", "tile", "use_prng", "mxu_dtype"),
 )
 def _fused_sample_pdf_call(seed, c_packed, eps_packed, bw_packed, w_packed, *,
-                           T, n_layers, block, tile, use_prng):
+                           T, n_layers, block, tile, use_prng,
+                           mxu_dtype="bfloat16"):
     n_rows = c_packed.shape[0]
     grid = (n_rows // tile,)
     kernel = functools.partial(
         _fused_sample_pdf_kernel, T=T, n_layers=n_layers, block=block,
-        use_prng=use_prng,
+        use_prng=use_prng, mxu_dtype=mxu_dtype,
     )
     tile_spec = pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     in_specs = [
@@ -409,6 +444,7 @@ def fused_sample_pdf_disk(
     T: int,
     tile: int = 256,
     eps: jnp.ndarray | None = None,
+    mxu_dtype: str = "bfloat16",
 ):
     """One-kernel disk-domain sample+pdf: (x, pdf, x0) for (N, 22) cond_enc.
 
@@ -440,6 +476,7 @@ def fused_sample_pdf_disk(
     out = _fused_sample_pdf_call(
         seed_arr, c_packed, eps_packed, bw_packed, w_packed,
         T=T, n_layers=len(v_params), block=block, tile=tile, use_prng=use_prng,
+        mxu_dtype=mxu_dtype,
     )
     rows = _unpack_rows(out, n, block)
     return rows[:, 0:2], rows[:, 2], rows[:, 4:6]
@@ -452,6 +489,7 @@ def make_fused_sample_pdf_disk(
     T: int,
     tile: int = 256,
     eps: jnp.ndarray | None = None,
+    mxu_dtype: str = "bfloat16",
 ):
     """Prepacked closure for repeated calls with a fixed wavefront.
 
@@ -500,7 +538,7 @@ def make_fused_sample_pdf_disk(
         out = _fused_sample_pdf_call(
             seed_arr, c_packed, eps_packed, bw_packed, w_packed,
             T=T, n_layers=len(v_params), block=block, tile=tile,
-            use_prng=use_prng,
+            use_prng=use_prng, mxu_dtype=mxu_dtype,
         )
         return _split(_compact(out))
 
@@ -516,6 +554,7 @@ def fused_ode_transport(
     reverse: bool = False,
     with_jac: bool = True,
     tile: int = 256,
+    mxu_dtype: str = "bfloat16",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the fused T-step Euler transport.
 
@@ -545,6 +584,7 @@ def fused_ode_transport(
         reverse=reverse,
         with_jac=with_jac,
         tile=tile,
+        mxu_dtype=mxu_dtype,
     )
     rows = _unpack_rows(out, n, block)
     x = rows[:, 0:2]
