@@ -7,3 +7,8 @@ from bsdf_diffusion_sampling_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from bsdf_diffusion_sampling_tpu.parallel.distributed import (  # noqa: F401
+    global_batch_slice,
+    host_fold,
+    init_distributed,
+)

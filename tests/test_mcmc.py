@@ -74,3 +74,25 @@ def test_generate_brdf_dataset_spherical(key):
     assert ((wo[:, 0] > 0) & (wo[:, 0] < np.pi / 2)).all()
     assert (np.abs(wo[:, 1]) < np.pi).all()
     assert ((wi[:, 0] > 0) & (wi[:, 0] < np.pi / 2)).all()
+
+
+def test_distributed_helpers_single_host():
+    """init_distributed is a safe no-op on one host; host_fold and
+    global_batch_slice follow process 0 conventions."""
+    import jax
+    import jax.numpy as jnp
+
+    from bsdf_diffusion_sampling_tpu.parallel import (
+        global_batch_slice,
+        host_fold,
+        init_distributed,
+    )
+
+    assert init_distributed() is False  # single host, no pod env
+    k = jax.random.key(3)
+    assert not jnp.array_equal(
+        jax.random.key_data(host_fold(k)),
+        jax.random.key_data(jax.random.fold_in(k, 1)),
+    )
+    start, size = global_batch_slice(1024)
+    assert (start, size) == (0, 1024)
