@@ -113,12 +113,18 @@ def import_reference_material(
                 material,
             )
         base = base_from_state_dict(load_state_dict(pre))
-        diffusion = mlp_from_state_dict(
-            load_state_dict(_pth(ckpt_dir, "brdf_diffusion_network_simpler", material))
-        )
-        teacher = mlp_from_state_dict(
-            load_state_dict(_pth(ckpt_dir, "brdf_diffusion_network_complex", material))
-        )
+        # a few shipped dirs store the diffusion nets under a legacy name
+        # (neusample_pos_diffusion_..._onemode{32,64}.pth — e.g.
+        # bsdf_2{3,4,5}_spherical); accept either
+        legacy = "neusample_pos_diffusion_brdf_mcmc_pytorch_emcee_onemode"
+        simpler = _pth(ckpt_dir, "brdf_diffusion_network_simpler", material)
+        if not os.path.exists(simpler):
+            simpler = os.path.join(ckpt_dir, f"{legacy}32.pth")
+        complex_ = _pth(ckpt_dir, "brdf_diffusion_network_complex", material)
+        if not os.path.exists(complex_):
+            complex_ = os.path.join(ckpt_dir, f"{legacy}64.pth")
+        diffusion = mlp_from_state_dict(load_state_dict(simpler))
+        teacher = mlp_from_state_dict(load_state_dict(complex_))
     else:
         raise ValueError(f"unknown domain {domain!r}")
 

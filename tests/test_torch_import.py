@@ -229,3 +229,38 @@ def test_imported_disk_sampler_matches_measured_density(key):
     assert kl < 0.6, kl
     corr = np.corrcoef(p.ravel(), q.ravel())[0, 1]
     assert corr > 0.9, corr
+
+
+def test_import_every_shipped_checkpoint():
+    """All 78 material/domain checkpoint directories the reference ships
+    must import cleanly with consistent layer shapes."""
+    from bsdf_diffusion_sampling_tpu.interop import import_reference_material
+    from bsdf_diffusion_sampling_tpu.models.mlp import mlp_dims
+
+    n_ok = 0
+    for d in sorted(os.listdir(CKPT_ROOT)):
+        if d.endswith("_disk"):
+            mat, domain = d[: -len("_disk")], "disk"
+        elif d.startswith("bsdf_") and d.endswith("_spherical"):
+            mat, domain = d[len("bsdf_"): -len("_spherical")], "sphere_full"
+        elif d.endswith("_spherical"):
+            mat, domain = d[: -len("_spherical")], "spherical"
+        else:
+            continue
+        try:
+            tree = import_reference_material(CKPT_ROOT, mat, domain)
+        except FileNotFoundError:
+            # one shipped dir (cc_green_malachite_rgb_spherical) has only a
+            # pretrain net — nothing to import
+            continue
+        base_dims = mlp_dims(tree["base"]["net"])
+        assert base_dims == [14, 16, 4], (d, base_dims)
+        rect = mlp_dims(tree["rectified"])
+        if domain == "disk":
+            assert rect == [25, 32, 32, 32, 2], (d, rect)
+            assert mlp_dims(tree["teacher"]) == rect, d
+        else:
+            assert rect == [26, 32, 32, 32, 32, 2], (d, rect)
+            assert mlp_dims(tree["teacher"]) == [26, 64, 64, 64, 64, 64, 64, 2], d
+        n_ok += 1
+    assert n_ok >= 77, n_ok  # 78 dirs upstream; 1 is pretrain-only
