@@ -74,18 +74,24 @@ def _truncated_gaussian(key, shape, stddev=0.5, radius=2.0):
 
 
 def generate_rays(
-    cam_vectors: jnp.ndarray, width: int, height: int, key: jax.Array, spp_chunk: int
+    cam_vectors: jnp.ndarray, width: int, height: int, key: jax.Array,
+    spp_chunk: int, row0: int = 0, rows: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One sample per pixel per call (pass a fresh key per spp pass, the
     reference's seed-increment loop, `brdf_measured_disk.py:149-155`).
 
     cam_vectors: Camera.vectors (4, 3). Returns (ro, rd, pixel_index),
-    each (W*H*spp_chunk, ...).
+    each (W*rows*spp_chunk, ...). `row0`/`rows` select a horizontal film
+    tile (static), so huge frames can render in bounded wavefronts;
+    pixel_index stays global so tiles splat into the same film.
     """
     origin, right, up, forward = cam_vectors
     w, h = width, height
-    n = w * h * spp_chunk
-    px = jnp.tile(jnp.arange(w * h, dtype=jnp.int32), spp_chunk)
+    rows = h - row0 if rows is None else rows
+    n = w * rows * spp_chunk
+    px = jnp.tile(
+        jnp.arange(row0 * w, (row0 + rows) * w, dtype=jnp.int32), spp_chunk
+    )
     x = (px % w).astype(jnp.float32)
     y = (px // w).astype(jnp.float32)
     jit = _truncated_gaussian(key, (n,))

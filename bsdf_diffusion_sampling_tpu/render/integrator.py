@@ -99,7 +99,8 @@ def _shade_sample(matball: MatballFns, key, mat_id, wi_l):
 
 @partial(
     jax.jit,
-    static_argnames=("matball", "width", "height", "spp_chunk", "max_depth", "mesh"),
+    static_argnames=("matball", "width", "height", "spp_chunk", "max_depth",
+                     "mesh", "row0", "rows"),
 )
 def render_pass(
     bvh: BVHArrays,
@@ -113,6 +114,8 @@ def render_pass(
     spp_chunk: int = 4,
     max_depth: int = 12,
     mesh=None,
+    row0: int = 0,
+    rows: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One accumulation pass (`mi.render(scene, spp=4, seed=i)` equivalent,
     `brdf_measured_disk.py:151-155`). Returns (film_sum, sample_count).
@@ -124,7 +127,8 @@ def render_pass(
     size W*H*spp_chunk must divide by the mesh size.
     """
     k_cam, k_path = jax.random.split(key)
-    ro, rd, px = generate_rays(cam_vectors, width, height, k_cam, spp_chunk)
+    ro, rd, px = generate_rays(cam_vectors, width, height, k_cam, spp_chunk,
+                               row0=row0, rows=rows)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -223,10 +227,30 @@ def render(
     spp_chunk: int = 4,
     max_depth: int = 12,
     mesh=None,
+    max_rays_per_pass: int | None = None,
 ):
     """Full multi-pass render (the 128x accumulation loop of
-    `brdf_measured_disk.py:146-163`). Returns (H, W, 3) numpy image."""
+    `brdf_measured_disk.py:146-163`). Returns (H, W, 3) numpy image.
+
+    `max_rays_per_pass` bounds the wavefront of a single jitted pass by
+    splitting the film into horizontal row tiles — both a peak-memory
+    control and a stability requirement on the tunneled dev TPU, whose
+    worker dies on render wavefronts >~10^5 rays (bisected in round 1;
+    components run fine individually at the same size). Defaults to 2^16
+    on TPU, unbounded elsewhere.
+    """
     import numpy as np
+
+    w, h = scene.camera.width, scene.camera.height
+    if max_rays_per_pass is None and jax.default_backend() == "tpu":
+        max_rays_per_pass = 1 << 16
+    if max_rays_per_pass is not None:
+        rows_per_tile = max(1, max_rays_per_pass // (w * spp_chunk))
+    else:
+        rows_per_tile = h
+    row_tiles = [
+        (r0, min(rows_per_tile, h - r0)) for r0 in range(0, h, rows_per_tile)
+    ]
 
     passes = max(spp // spp_chunk, 1)
     img_sum = None
@@ -234,13 +258,16 @@ def render(
     key = jax.random.key(seed)
     cam_vecs = scene.camera.vectors
     for i in range(passes):
-        img, cnt = render_pass(
-            scene.bvh, scene.envmap, cam_vecs, jax.random.fold_in(key, i),
-            matball=matball, width=scene.camera.width, height=scene.camera.height,
-            spp_chunk=spp_chunk, max_depth=max_depth, mesh=mesh,
-        )
-        img_sum = img if img_sum is None else img_sum + img
-        cnt_sum = cnt if cnt_sum is None else cnt_sum + cnt
+        k_pass = jax.random.fold_in(key, i)
+        for t, (row0, rows) in enumerate(row_tiles):
+            img, cnt = render_pass(
+                scene.bvh, scene.envmap, cam_vecs, jax.random.fold_in(k_pass, t),
+                matball=matball, width=w, height=h,
+                spp_chunk=spp_chunk, max_depth=max_depth, mesh=mesh,
+                row0=row0, rows=rows,
+            )
+            img_sum = img if img_sum is None else img_sum + img
+            cnt_sum = cnt if cnt_sum is None else cnt_sum + cnt
     return np.asarray(img_sum / jnp.maximum(cnt_sum, 1.0)[..., None])
 
 
