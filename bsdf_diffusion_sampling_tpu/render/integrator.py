@@ -97,11 +97,130 @@ def _shade_sample(matball: MatballFns, key, mat_id, wi_l):
     return wo, pdf
 
 
+@partial(jax.jit, static_argnames=("matball",))
+def _bounce_program(
+    bvh: BVHArrays,
+    env: EnvMap,
+    state,
+    key: jax.Array,
+    depth,
+    *,
+    matball: MatballFns,
+):
+    """ONE path-tracing bounce for the whole wavefront — the per-bounce
+    "megakernel call" of the reference (`brdf_measured_disk.py:66`), as a
+    single reusable XLA program. `depth` is a traced scalar (it only
+    gates MIS-on-env and Russian roulette), so every bounce of every
+    pass/tile reuses one compiled executable.
+
+    Split per-bounce rather than unrolling max_depth bounces into one
+    program: the dev backend's worker dies once a single program's
+    rays x bounces work crosses ~2*10^5 (bisected in round 1), an unrolled
+    program recompiles per max_depth, and the bounce boundary is where a
+    Pallas sampler can later slot in without embedding pallas_call in a
+    giant jit (pathological Mosaic compile times).
+    """
+    ro, rd, px, L, beta, alive, prev_pdf = state
+    n = ro.shape[0]
+    k_nee, k_bsdf, k_rr = jax.random.split(jax.random.fold_in(key, depth), 3)
+
+    hit = intersect(bvh, ro, rd)
+    miss = hit.t >= 1e29
+
+    # escaped rays collect the envmap, MIS-weighted against the
+    # previous bounce's BSDF pdf
+    le = eval_env(env, rd)
+    w_env = jnp.where(prev_pdf > 0, mis_weight(prev_pdf, pdf_env(env, rd)), 1.0)
+    L = L + beta * le * (w_env * (alive & miss))[..., None]
+    alive = alive & ~miss
+
+    # surface interaction
+    prim = hit.prim
+    u, v = hit.u, hit.v
+    w0 = 1.0 - u - v
+    n_sh = (
+        w0[:, None] * bvh.n0[prim]
+        + u[:, None] * bvh.n1[prim]
+        + v[:, None] * bvh.n2[prim]
+    )
+    n_sh = n_sh / jnp.maximum(jnp.linalg.norm(n_sh, axis=-1, keepdims=True), 1e-12)
+    uv = (
+        w0[:, None] * bvh.uv0[prim]
+        + u[:, None] * bvh.uv1[prim]
+        + v[:, None] * bvh.uv2[prim]
+    )
+    mat_id = bvh.material_id[prim]
+    p_hit = ro + rd * hit.t[:, None]
+    t, bt = make_frame(n_sh)
+    wi_l = to_local(n_sh, t, bt, -rd)
+    alive = alive & (wi_l[..., 2] > 0)
+
+    # ---- NEE: sample the envmap, shadow-test, MIS
+    u_nee = jax.random.uniform(k_nee, (n, 2))
+    d_env, le_nee, pdf_e = sample_env(env, u_nee)
+    wo_nee_l = to_local(n_sh, t, bt, d_env)
+    f_nee = _shade_eval(matball, mat_id, uv, wi_l, wo_nee_l)
+    pdf_b_at_nee = _shade_pdf(matball, mat_id, wi_l, wo_nee_l)
+    nee_below_ok = matball.transmissive & (mat_id == MAT_BALL)
+    shadow_o = p_hit + n_sh * jnp.where(
+        wo_nee_l[..., 2] >= 0, RAY_EPS, -RAY_EPS
+    )[..., None]
+    occ = occluded(bvh, shadow_o, d_env, jnp.full((n,), 1e6))
+    nee_ok = alive & ~occ & (pdf_e > 1e-9) & (
+        (wo_nee_l[..., 2] > 0) | nee_below_ok
+    )
+    contrib = beta * f_nee * (le_nee / jnp.maximum(pdf_e, 1e-9)[..., None])
+    contrib = contrib * mis_weight(pdf_e, pdf_b_at_nee)[..., None]
+    L = L + jnp.where(nee_ok[..., None], contrib, 0.0)
+
+    # ---- BSDF sampling
+    wo_l, pdf_b = _shade_sample(matball, k_bsdf, mat_id, wi_l)
+    f_b = _shade_eval(matball, mat_id, uv, wi_l, wo_l)
+    is_ball = mat_id == MAT_BALL
+    wo_up_ok = (wo_l[..., 2] > 0) | (matball.transmissive & is_ball)
+    ok = alive & (pdf_b > 1e-9) & wo_up_ok
+    w_rgb = f_b / jnp.maximum(pdf_b, 1e-9)[..., None]
+    w_rgb = jnp.where(is_ball[..., None], matball.weight_filter(w_rgb), w_rgb)
+    beta = jnp.where(ok[..., None], beta * w_rgb, beta)
+    alive = alive & ok & (jnp.max(w_rgb, axis=-1) > 0)
+
+    rd = to_world(n_sh, t, bt, wo_l)
+    ro = p_hit + n_sh * jnp.where(wo_l[..., 2] >= 0, RAY_EPS, -RAY_EPS)[..., None]
+    prev_pdf = jnp.where(alive, pdf_b, 0.0)
+
+    # ---- Russian roulette (no-op while depth < RR_DEPTH)
+    q = jnp.where(
+        depth >= RR_DEPTH, jnp.minimum(jnp.max(beta, axis=-1), RR_MAX), 1.0
+    )
+    live = jax.random.uniform(k_rr, (n,)) < q
+    beta = beta / jnp.maximum(q, 1e-9)[..., None]
+    alive = alive & live
+
+    return ro, rd, px, L, beta, alive, prev_pdf
+
+
 @partial(
     jax.jit,
-    static_argnames=("matball", "width", "height", "spp_chunk", "max_depth",
-                     "mesh", "row0", "rows"),
+    static_argnames=("width", "height", "spp_chunk", "row0", "rows"),
 )
+def _init_wavefront(cam_vectors, key, *, width, height, spp_chunk, row0, rows):
+    ro, rd, px = generate_rays(cam_vectors, width, height, key, spp_chunk,
+                               row0=row0, rows=rows)
+    n = ro.shape[0]
+    return (
+        ro, rd, px,
+        jnp.zeros((n, 3)),
+        jnp.ones((n, 3)),
+        jnp.ones((n,), bool),
+        jnp.zeros((n,)),  # 0 => delta/camera ray: no MIS on env hit
+    )
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def _finish_pass(px, L, *, width, height):
+    return accumulate_film(px, L, width, height)
+
+
 def render_pass(
     bvh: BVHArrays,
     env: EnvMap,
@@ -118,105 +237,29 @@ def render_pass(
     rows: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One accumulation pass (`mi.render(scene, spp=4, seed=i)` equivalent,
-    `brdf_measured_disk.py:151-155`). Returns (film_sum, sample_count).
+    `brdf_measured_disk.py:151-155`): ray gen + max_depth bounce programs
+    + film segment-sum. Returns (film_sum, sample_count).
 
     With a `mesh`, the ray wavefront is sharded over its "data" axis —
     scene arrays replicate (the matpreview scene is MBs), every bounce's
     traversal/shading runs on local shards, and only the film segment-sum
     crosses chips (the SURVEY §2.3 ray-sharding design). The wavefront
-    size W*H*spp_chunk must divide by the mesh size.
+    size W*rows*spp_chunk must divide by the mesh size.
     """
     k_cam, k_path = jax.random.split(key)
-    ro, rd, px = generate_rays(cam_vectors, width, height, k_cam, spp_chunk,
-                               row0=row0, rows=rows)
+    state = _init_wavefront(cam_vectors, k_cam, width=width, height=height,
+                            spp_chunk=spp_chunk, row0=row0,
+                            rows=height - row0 if rows is None else rows)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         shard = NamedSharding(mesh, P(mesh.axis_names[0]))
-        ro, rd, px = (jax.lax.with_sharding_constraint(x, shard) for x in (ro, rd, px))
-    n = ro.shape[0]
-
-    L = jnp.zeros((n, 3))
-    beta = jnp.ones((n, 3))
-    alive = jnp.ones((n,), bool)
-    prev_pdf = jnp.zeros((n,))  # 0 => delta/camera ray: no MIS on env hit
+        state = tuple(jax.device_put(x, shard) for x in state)
 
     for depth in range(max_depth):
-        k_nee, k_bsdf, k_rr, k_path = jax.random.split(
-            jax.random.fold_in(k_path, depth), 4
-        )
-        hit = intersect(bvh, ro, rd)
-        miss = hit.t >= 1e29
-
-        # escaped rays collect the envmap, MIS-weighted against the
-        # previous bounce's BSDF pdf
-        le = eval_env(env, rd)
-        w_env = jnp.where(prev_pdf > 0, mis_weight(prev_pdf, pdf_env(env, rd)), 1.0)
-        L = L + beta * le * (w_env * (alive & miss))[..., None]
-        alive = alive & ~miss
-
-        # surface interaction
-        prim = hit.prim
-        u, v = hit.u, hit.v
-        w0 = 1.0 - u - v
-        n_sh = (
-            w0[:, None] * bvh.n0[prim]
-            + u[:, None] * bvh.n1[prim]
-            + v[:, None] * bvh.n2[prim]
-        )
-        n_sh = n_sh / jnp.maximum(jnp.linalg.norm(n_sh, axis=-1, keepdims=True), 1e-12)
-        uv = (
-            w0[:, None] * bvh.uv0[prim]
-            + u[:, None] * bvh.uv1[prim]
-            + v[:, None] * bvh.uv2[prim]
-        )
-        mat_id = bvh.material_id[prim]
-        p_hit = ro + rd * hit.t[:, None]
-        t, bt = make_frame(n_sh)
-        wi_l = to_local(n_sh, t, bt, -rd)
-        alive = alive & (wi_l[..., 2] > 0)
-
-        # ---- NEE: sample the envmap, shadow-test, MIS
-        u_nee = jax.random.uniform(k_nee, (n, 2))
-        d_env, le_nee, pdf_e = sample_env(env, u_nee)
-        wo_nee_l = to_local(n_sh, t, bt, d_env)
-        f_nee = _shade_eval(matball, mat_id, uv, wi_l, wo_nee_l)
-        pdf_b_at_nee = _shade_pdf(matball, mat_id, wi_l, wo_nee_l)
-        nee_below_ok = matball.transmissive & (mat_id == MAT_BALL)
-        shadow_o = p_hit + n_sh * jnp.where(
-            wo_nee_l[..., 2] >= 0, RAY_EPS, -RAY_EPS
-        )[..., None]
-        occ = occluded(bvh, shadow_o, d_env, jnp.full((n,), 1e6))
-        nee_ok = alive & ~occ & (pdf_e > 1e-9) & (
-            (wo_nee_l[..., 2] > 0) | nee_below_ok
-        )
-        contrib = beta * f_nee * (le_nee / jnp.maximum(pdf_e, 1e-9)[..., None])
-        contrib = contrib * mis_weight(pdf_e, pdf_b_at_nee)[..., None]
-        L = L + jnp.where(nee_ok[..., None], contrib, 0.0)
-
-        # ---- BSDF sampling
-        wo_l, pdf_b = _shade_sample(matball, k_bsdf, mat_id, wi_l)
-        f_b = _shade_eval(matball, mat_id, uv, wi_l, wo_l)
-        is_ball = mat_id == MAT_BALL
-        wo_up_ok = (wo_l[..., 2] > 0) | (matball.transmissive & is_ball)
-        ok = alive & (pdf_b > 1e-9) & wo_up_ok
-        w_rgb = f_b / jnp.maximum(pdf_b, 1e-9)[..., None]
-        w_rgb = jnp.where(is_ball[..., None], matball.weight_filter(w_rgb), w_rgb)
-        beta = jnp.where(ok[..., None], beta * w_rgb, beta)
-        alive = alive & ok & (jnp.max(w_rgb, axis=-1) > 0)
-
-        rd = to_world(n_sh, t, bt, wo_l)
-        ro = p_hit + n_sh * jnp.where(wo_l[..., 2] >= 0, RAY_EPS, -RAY_EPS)[..., None]
-        prev_pdf = jnp.where(alive, pdf_b, 0.0)
-
-        # ---- Russian roulette
-        if depth >= RR_DEPTH:
-            q = jnp.minimum(jnp.max(beta, axis=-1), RR_MAX)
-            live = jax.random.uniform(k_rr, (n,)) < q
-            beta = beta / jnp.maximum(q, 1e-9)[..., None]
-            alive = alive & live
-
-    return accumulate_film(px, L, width, height)
+        state = _bounce_program(bvh, env, state, k_path, depth, matball=matball)
+    px, L = state[2], state[3]
+    return _finish_pass(px, L, width=width, height=height)
 
 
 def render(
@@ -232,12 +275,12 @@ def render(
     """Full multi-pass render (the 128x accumulation loop of
     `brdf_measured_disk.py:146-163`). Returns (H, W, 3) numpy image.
 
-    `max_rays_per_pass` bounds the wavefront of a single jitted pass by
-    splitting the film into horizontal row tiles — both a peak-memory
-    control and a stability requirement on the tunneled dev TPU, whose
-    worker dies on render wavefronts >~10^5 rays (bisected in round 1;
-    components run fine individually at the same size). Defaults to 2^16
-    on TPU, unbounded elsewhere.
+    `max_rays_per_pass` bounds the wavefront of a single pass by splitting
+    the film into horizontal row tiles — a peak-memory control and a
+    stability requirement on the tunneled dev TPU (worker dies when one
+    program's rays x bounces crosses ~2*10^5; with per-bounce programs the
+    constraint is per-bounce ray count). Defaults to 2^16 on TPU,
+    unbounded elsewhere.
     """
     import numpy as np
 
@@ -257,17 +300,26 @@ def render(
     cnt_sum = None
     key = jax.random.key(seed)
     cam_vecs = scene.camera.vectors
+    add = jax.jit(lambda a, b: (a[0] + b[0], a[1] + b[1]))
+    # premake per-(pass, tile) keys outside the hot loop (eager jax ops
+    # cost ~30 ms each on the tunneled dev backend)
+    keys = jax.random.split(key, passes * len(row_tiles))
+    keys = [keys[i] for i in range(passes * len(row_tiles))]
+    jax.block_until_ready(keys)
+    ki = 0
     for i in range(passes):
-        k_pass = jax.random.fold_in(key, i)
-        for t, (row0, rows) in enumerate(row_tiles):
+        for (row0, rows) in row_tiles:
             img, cnt = render_pass(
-                scene.bvh, scene.envmap, cam_vecs, jax.random.fold_in(k_pass, t),
+                scene.bvh, scene.envmap, cam_vecs, keys[ki],
                 matball=matball, width=w, height=h,
                 spp_chunk=spp_chunk, max_depth=max_depth, mesh=mesh,
                 row0=row0, rows=rows,
             )
-            img_sum = img if img_sum is None else img_sum + img
-            cnt_sum = cnt if cnt_sum is None else cnt_sum + cnt
+            ki += 1
+            if img_sum is None:
+                img_sum, cnt_sum = img, cnt
+            else:
+                img_sum, cnt_sum = add((img_sum, cnt_sum), (img, cnt))
     return np.asarray(img_sum / jnp.maximum(cnt_sum, 1.0)[..., None])
 
 
