@@ -82,15 +82,17 @@ def generate_rays(
 
     cam_vectors: Camera.vectors (4, 3). Returns (ro, rd, pixel_index),
     each (W*rows*spp_chunk, ...). `row0`/`rows` select a horizontal film
-    tile (static), so huge frames can render in bounded wavefronts;
-    pixel_index stays global so tiles splat into the same film.
+    tile, so huge frames can render in bounded wavefronts; `rows` is
+    static (it sets shapes) but `row0` may be a traced scalar — all tiles
+    of a frame share one executable. pixel_index stays global so tiles
+    splat into the same film.
     """
     origin, right, up, forward = cam_vectors
     w, h = width, height
-    rows = h - row0 if rows is None else rows
+    rows = h if rows is None else rows
     n = w * rows * spp_chunk
-    px = jnp.tile(
-        jnp.arange(row0 * w, (row0 + rows) * w, dtype=jnp.int32), spp_chunk
+    px = jnp.tile(jnp.arange(rows * w, dtype=jnp.int32), spp_chunk) + (
+        jnp.asarray(row0, jnp.int32) * w
     )
     x = (px % w).astype(jnp.float32)
     y = (px // w).astype(jnp.float32)

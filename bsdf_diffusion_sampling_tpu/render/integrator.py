@@ -201,19 +201,21 @@ def _bounce_program(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp_chunk", "row0", "rows"),
+    static_argnames=("width", "height", "spp_chunk", "rows"),
 )
-def _init_wavefront(cam_vectors, key, *, width, height, spp_chunk, row0, rows):
-    ro, rd, px = generate_rays(cam_vectors, width, height, key, spp_chunk,
+def _init_wavefront(cam_vectors, key, row0, *, width, height, spp_chunk, rows):
+    k_cam, k_path = jax.random.split(key)
+    ro, rd, px = generate_rays(cam_vectors, width, height, k_cam, spp_chunk,
                                row0=row0, rows=rows)
     n = ro.shape[0]
-    return (
+    state = (
         ro, rd, px,
         jnp.zeros((n, 3)),
         jnp.ones((n, 3)),
         jnp.ones((n,), bool),
         jnp.zeros((n,)),  # 0 => delta/camera ray: no MIS on env hit
     )
+    return state, k_path
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
@@ -246,10 +248,9 @@ def render_pass(
     crosses chips (the SURVEY §2.3 ray-sharding design). The wavefront
     size W*rows*spp_chunk must divide by the mesh size.
     """
-    k_cam, k_path = jax.random.split(key)
-    state = _init_wavefront(cam_vectors, k_cam, width=width, height=height,
-                            spp_chunk=spp_chunk, row0=row0,
-                            rows=height - row0 if rows is None else rows)
+    state, k_path = _init_wavefront(cam_vectors, key, row0, width=width,
+                                    height=height, spp_chunk=spp_chunk,
+                                    rows=height - row0 if rows is None else rows)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
