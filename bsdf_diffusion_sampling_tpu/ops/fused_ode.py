@@ -590,3 +590,92 @@ def fused_ode_transport(
     x = rows[:, 0:2]
     det = rows[:, 2]
     return x, det
+
+
+def make_fused_transport(
+    domain: str,
+    v_params: List[dict],
+    cond_enc: jnp.ndarray,
+    T: int,
+    reverse: bool = False,
+    with_jac: bool = True,
+    tile: int = 256,
+    mxu_dtype: str = "bfloat16",
+):
+    """Prepacked `fused_ode_transport` closure: weights + condition packed
+    once, per-call state packing jitted. Returns ``run(x) -> (x', det)``
+    with three jitted dispatches per call (pack, pallas, unpack) and zero
+    eager ops — use when the same wavefront's conditions are transported
+    repeatedly (rectify pair generation, spherical sample/pdf paths,
+    benchmarks)."""
+    n = cond_enc.shape[0]
+    block = _block_size(v_params)
+    pack = LANES // block
+    n_pad = ((n + tile * pack - 1) // (tile * pack)) * (tile * pack)
+
+    cond_off = 3 if domain == "disk" else 4
+    c_packed = _pack_rows(cond_enc.astype(jnp.float32), cond_off, block, n_pad)
+    w_packed = pack_weights(v_params, block)
+    jax.block_until_ready((c_packed, w_packed))
+
+    @jax.jit
+    def _pack_state(x):
+        return _pack_rows(x.astype(jnp.float32), 0, block, n_pad)
+
+    @jax.jit
+    def _compact(out):
+        return out.reshape(-1, block)[:n, :4]
+
+    @jax.jit
+    def _split(m):
+        return m[:, 0:2], m[:, 2]
+
+    def run(x: jnp.ndarray):
+        out = _fused_call(
+            _pack_state(x), c_packed, w_packed,
+            domain=domain, T=T, n_layers=len(v_params), block=block,
+            reverse=reverse, with_jac=with_jac, tile=tile,
+            mxu_dtype=mxu_dtype,
+        )
+        return _split(_compact(out))
+
+    return run
+
+
+def make_fused_sample_pdf_spherical(
+    v_params: List[dict],
+    base,
+    base_params: dict,
+    omega_i: jnp.ndarray,
+    cond_enc: jnp.ndarray,
+    T: int,
+    tile: int = 256,
+    mxu_dtype: str = "bfloat16",
+):
+    """Spherical-domain sample+pdf closure: the Gaussian(theta) x
+    von-Mises(phi) base draw runs as one jitted XLA program (the Best-
+    Fisher rejection sampler does not map to an in-kernel Pallas loop the
+    way the disk's Box-Muller does), then the T-step transport + det
+    accumulation runs in the fused Pallas kernel. Returns
+    ``run(key) -> (x, pdf)``. Counterpart of `network_sampling_spherical`
+    (`mlp_brdf_sampling.py:106-140`)."""
+    transport = make_fused_transport(
+        "spherical", v_params, cond_enc, T, tile=tile, mxu_dtype=mxu_dtype
+    )
+
+    @jax.jit
+    def _draw(key):
+        x0 = base.sample(base_params, omega_i, key)
+        p0 = jnp.exp(base.log_prob(base_params, x0, omega_i))
+        return x0, p0
+
+    @jax.jit
+    def _assemble(p0, det):
+        return p0 / det
+
+    def run(key: jax.Array):
+        x0, p0 = _draw(key)
+        x, det = transport(x0)
+        return x, _assemble(p0, det)
+
+    return run

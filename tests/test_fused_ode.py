@@ -105,3 +105,52 @@ def test_no_jac_matches_sample_only(key):
     x_ref = ode_sample_only(domain, v_params, x0, cond, T)
     x_k, _ = fused.fused_ode_transport(domain, v_params, x0, cond, T, with_jac=False, tile=8)
     np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_ref), rtol=2e-5, atol=2e-6)
+
+
+def test_make_fused_transport_matches_single_call(key):
+    import bsdf_diffusion_sampling_tpu.ops.fused_ode as fused
+    from bsdf_diffusion_sampling_tpu.core.config import ModelConfig
+    from bsdf_diffusion_sampling_tpu.models import velocity_init
+    from bsdf_diffusion_sampling_tpu.models.velocity import encode_condition
+
+    for domain, cfg in (
+        ("disk", ModelConfig(domain="disk")),
+        ("spherical", ModelConfig(domain="spherical", velocity_hidden=32,
+                                  velocity_layers=4)),
+    ):
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, hash(domain) % 97), 3)
+        v_params = jax.tree.map(lambda w: w * 0.5, velocity_init(k1, cfg))
+        n = 300
+        omega_i = jax.random.uniform(k2, (n, 2), minval=-0.6, maxval=0.6)
+        cond = encode_condition(omega_i, cfg)
+        x0 = jax.random.normal(k3, (n, 2)) * 0.3
+        x_a, det_a = fused.fused_ode_transport(domain, v_params, x0, cond, 4, tile=8)
+        run = fused.make_fused_transport(domain, v_params, cond, 4, tile=8)
+        x_b, det_b = run(x0)
+        np.testing.assert_array_equal(np.asarray(x_a), np.asarray(x_b))
+        np.testing.assert_array_equal(np.asarray(det_a), np.asarray(det_b))
+
+
+def test_make_fused_sample_pdf_spherical_matches_xla(key):
+    import bsdf_diffusion_sampling_tpu.ops.fused_ode as fused
+    from bsdf_diffusion_sampling_tpu.core.config import ModelConfig
+    from bsdf_diffusion_sampling_tpu.models import get_base, velocity_init
+    from bsdf_diffusion_sampling_tpu.models.velocity import encode_condition
+    from bsdf_diffusion_sampling_tpu.ode import ode_sample
+
+    cfg = ModelConfig(domain="spherical", velocity_hidden=32, velocity_layers=4)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    v_params = jax.tree.map(lambda w: w * 0.5, velocity_init(k1, cfg))
+    base = get_base("spherical")
+    b_params = base.init(k2)
+    n = 300
+    omega_i = jax.random.uniform(k3, (n, 2), minval=-0.5, maxval=0.5)
+    cond = encode_condition(omega_i, cfg)
+
+    run = fused.make_fused_sample_pdf_spherical(
+        v_params, base, b_params, omega_i, cond, 8, tile=8
+    )
+    x_f, pdf_f = run(k4)
+    x_r, pdf_r = ode_sample("spherical", v_params, b_params, omega_i, cond, k4, 8)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_r), rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(pdf_f), np.asarray(pdf_r), rtol=5e-5)
