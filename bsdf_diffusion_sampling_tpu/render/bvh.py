@@ -88,11 +88,12 @@ class Hit(NamedTuple):
 
 
 def _slab_test(bb_min, bb_max, ro, inv_rd, t_best):
+    """Returns (hit, t_near) — t_near orders near-child-first traversal."""
     t0 = (bb_min - ro) * inv_rd
     t1 = (bb_max - ro) * inv_rd
     t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
     t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    return (t_near <= t_far) & (t_far > 1e-5) & (t_near < t_best)
+    return (t_near <= t_far) & (t_far > 1e-5) & (t_near < t_best), t_near
 
 
 def _tri_test(bvh: BVHArrays, prim, ro, rd, t_best):
@@ -119,40 +120,68 @@ def _tri_test(bvh: BVHArrays, prim, ro, rd, t_best):
     return ok, t, u, v
 
 
-def intersect(bvh: BVHArrays, ro: jnp.ndarray, rd: jnp.ndarray,
-              t_max: float | jnp.ndarray = _INF) -> Hit:
-    """Closest-hit traversal for a wavefront of rays (R, 3)."""
+def intersect(
+    bvh: BVHArrays,
+    ro: jnp.ndarray,
+    rd: jnp.ndarray,
+    t_max: float | jnp.ndarray = _INF,
+    active: jnp.ndarray | None = None,
+    any_hit: bool = False,
+) -> Hit:
+    """Closest-hit traversal for a wavefront of rays (R, 3).
+
+    Ordered traversal: a popped inner node slab-tests BOTH children and
+    pushes only the hit ones, far child first, with each child's entry
+    distance stored in a parallel f32 stack so stale entries (t_near >=
+    current t_best) are culled on pop without re-testing. `active=False`
+    rays start with an empty stack and idle through the lockstep loop at
+    zero marginal cost — the loop runs until every LIVE ray's stack is
+    empty, so masking dead rays shortens the whole wavefront's traversal
+    (the reference gets this for free from Dr.Jit wavefront compaction).
+    `any_hit=True` terminates a ray on its first accepted triangle hit
+    (shadow rays).
+    """
     r = ro.shape[0]
     inv_rd = 1.0 / jnp.where(jnp.abs(rd) < 1e-12, jnp.where(rd >= 0, 1e-12, -1e-12), rd)
     stack = jnp.zeros((r, STACK_DEPTH), jnp.int32)
-    ptr = jnp.ones((r,), jnp.int32)  # root pushed
+    tstack = jnp.full((r, STACK_DEPTH), -_INF, jnp.float32)
+    t_max_arr = jnp.full((r,), t_max, jnp.float32) if jnp.ndim(t_max) == 0 else t_max
+    ptr = (
+        jnp.ones((r,), jnp.int32)
+        if active is None
+        else jnp.where(active, 1, 0).astype(jnp.int32)
+    )
 
     init = (
         stack,
+        tstack,
         ptr,
-        jnp.full((r,), t_max, jnp.float32) if jnp.ndim(t_max) == 0 else t_max,
+        t_max_arr,
         jnp.zeros((r,), jnp.int32),
         jnp.zeros((r,), jnp.float32),
         jnp.zeros((r,), jnp.float32),
     )
 
+    lanes = jnp.arange(STACK_DEPTH)[None, :]
+
     def cond(state):
-        _, ptr, *_ = state
+        _, _, ptr, *_ = state
         return jnp.any(ptr > 0)
 
     def body(state):
-        stack, ptr, t_best, prim_best, u_best, v_best = state
+        stack, tstack, ptr, t_best, prim_best, u_best, v_best = state
         live = ptr > 0
         top = jnp.maximum(ptr - 1, 0)
         node = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
+        t_entry = jnp.take_along_axis(tstack, top[:, None], axis=1)[:, 0]
         node = jnp.where(live, node, 0)
         ptr = jnp.where(live, ptr - 1, ptr)
+        # cull stale entries: t_best may have shrunk since the push
+        visit = live & (t_entry < t_best)
 
-        hit_box = _slab_test(bvh.bb_min[node], bvh.bb_max[node], ro, inv_rd, t_best)
-        hit_box &= live
         cnt = bvh.count[node]
-        is_leaf = hit_box & (cnt > 0)
-        is_inner = hit_box & (cnt == 0)
+        is_leaf = visit & (cnt > 0)
+        is_inner = visit & (cnt == 0)
 
         # leaf: test up to MAX_LEAF prims
         first = bvh.left[node]
@@ -164,33 +193,42 @@ def intersect(bvh: BVHArrays, ro: jnp.ndarray, rd: jnp.ndarray,
             prim_best = jnp.where(ok, prim, prim_best)
             u_best = jnp.where(ok, u, u_best)
             v_best = jnp.where(ok, v, v_best)
+        if any_hit:
+            # shadow query: first accepted hit ends the ray
+            ptr = jnp.where(t_best < t_max_arr, 0, ptr)
 
-        # inner: push both children (left child = node+1 in DFS order,
-        # right child stored in `left` for inner nodes)
+        # inner: slab-test both children, push hit ones far-first
         l_child = node + 1
         r_child = bvh.left[node]
-        stack = jnp.where(
-            (is_inner & (ptr < STACK_DEPTH))[:, None]
-            & (jnp.arange(STACK_DEPTH)[None, :] == ptr[:, None]),
-            r_child[:, None],
-            stack,
-        )
-        ptr = jnp.where(is_inner, jnp.minimum(ptr + 1, STACK_DEPTH), ptr)
-        stack = jnp.where(
-            (is_inner & (ptr < STACK_DEPTH))[:, None]
-            & (jnp.arange(STACK_DEPTH)[None, :] == ptr[:, None]),
-            l_child[:, None],
-            stack,
-        )
-        ptr = jnp.where(is_inner, jnp.minimum(ptr + 1, STACK_DEPTH), ptr)
-        return stack, ptr, t_best, prim_best, u_best, v_best
+        hit_l, tn_l = _slab_test(bvh.bb_min[l_child], bvh.bb_max[l_child],
+                                 ro, inv_rd, t_best)
+        hit_r, tn_r = _slab_test(bvh.bb_min[r_child], bvh.bb_max[r_child],
+                                 ro, inv_rd, t_best)
+        hit_l &= is_inner
+        hit_r &= is_inner
+        l_near = tn_l <= tn_r
+        c_far = jnp.where(l_near, r_child, l_child)
+        t_far = jnp.where(l_near, tn_r, tn_l)
+        h_far = jnp.where(l_near, hit_r, hit_l)
+        c_near = jnp.where(l_near, l_child, r_child)
+        t_near_ = jnp.where(l_near, tn_l, tn_r)
+        h_near = jnp.where(l_near, hit_l, hit_r)
 
-    _, _, t, prim, u, v = jax.lax.while_loop(cond, body, init)
+        for c, tn, h in ((c_far, t_far, h_far), (c_near, t_near_, h_near)):
+            put = (h & (ptr < STACK_DEPTH))[:, None] & (lanes == ptr[:, None])
+            stack = jnp.where(put, c[:, None], stack)
+            tstack = jnp.where(put, tn[:, None], tstack)
+            ptr = jnp.where(h, jnp.minimum(ptr + 1, STACK_DEPTH), ptr)
+
+        return stack, tstack, ptr, t_best, prim_best, u_best, v_best
+
+    _, _, _, t, prim, u, v = jax.lax.while_loop(cond, body, init)
     return Hit(t, prim, u, v)
 
 
 def occluded(bvh: BVHArrays, ro: jnp.ndarray, rd: jnp.ndarray,
-             t_max: jnp.ndarray) -> jnp.ndarray:
-    """Boolean shadow query: any hit closer than t_max."""
-    hit = intersect(bvh, ro, rd, t_max)
+             t_max: jnp.ndarray,
+             active: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Boolean shadow query: any hit closer than t_max (early-exit)."""
+    hit = intersect(bvh, ro, rd, t_max, active=active, any_hit=True)
     return hit.t < t_max * 0.9999

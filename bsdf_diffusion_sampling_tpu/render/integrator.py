@@ -124,7 +124,7 @@ def _bounce_program(
     n = ro.shape[0]
     k_nee, k_bsdf, k_rr = jax.random.split(jax.random.fold_in(key, depth), 3)
 
-    hit = intersect(bvh, ro, rd)
+    hit = intersect(bvh, ro, rd, active=alive)
     miss = hit.t >= 1e29
 
     # escaped rays collect the envmap, MIS-weighted against the
@@ -165,10 +165,9 @@ def _bounce_program(
     shadow_o = p_hit + n_sh * jnp.where(
         wo_nee_l[..., 2] >= 0, RAY_EPS, -RAY_EPS
     )[..., None]
-    occ = occluded(bvh, shadow_o, d_env, jnp.full((n,), 1e6))
-    nee_ok = alive & ~occ & (pdf_e > 1e-9) & (
-        (wo_nee_l[..., 2] > 0) | nee_below_ok
-    )
+    nee_cand = alive & (pdf_e > 1e-9) & ((wo_nee_l[..., 2] > 0) | nee_below_ok)
+    occ = occluded(bvh, shadow_o, d_env, jnp.full((n,), 1e6), active=nee_cand)
+    nee_ok = nee_cand & ~occ
     contrib = beta * f_nee * (le_nee / jnp.maximum(pdf_e, 1e-9)[..., None])
     contrib = contrib * mis_weight(pdf_e, pdf_b_at_nee)[..., None]
     L = L + jnp.where(nee_ok[..., None], contrib, 0.0)
