@@ -35,6 +35,14 @@ class BVHArrays(NamedTuple):
     bb_max: jnp.ndarray  # (N, 3)
     left: jnp.ndarray  # (N,) inner: left-child index; leaf: first prim
     count: jnp.ndarray  # (N,) 0 = inner, >0 = leaf prim count
+    # gather-packed traversal table: TPU gathers cost ~0.6 ms per 64k
+    # random rows per lockstep iteration REGARDLESS of row width (measured
+    # v5e), so EVERYTHING a node visit needs lives in ONE row:
+    # cols 0:12  = both children's boxes (lo_l hi_l lo_r hi_r),
+    # col  12/13/14 = right-child index / leaf prim count / first prim,
+    # cols 16:64 = the leaf's 4 triangles as [v0 e1 e2] (degenerate-edge
+    #              padded => guaranteed miss), cols 64:68 = global prim ids.
+    packed: jnp.ndarray  # (N, 68) float32
     # reordered triangle data
     v0: jnp.ndarray
     e1: jnp.ndarray
@@ -62,11 +70,43 @@ def build_bvh(soup: TriangleSoup) -> BVHArrays:
     def reorder(x):
         return jnp.asarray(np.asarray(x)[perm])
 
+    n_nodes = len(count_a)
+    v0r = np.asarray(soup.v0)[perm]
+    e1r = np.asarray(soup.e1)[perm]
+    e2r = np.asarray(soup.e2)[perm]
+    n_prims = len(v0r)
+
+    packed = np.zeros((n_nodes, 68), np.float32)
+    inner = count_a == 0
+    l_child = np.where(inner, np.arange(n_nodes) + 1, 0)
+    r_child = np.where(inner, left_a, 0)
+    packed[:, 0:3] = bb_min_a[l_child]
+    packed[:, 3:6] = bb_max_a[l_child]
+    packed[:, 6:9] = bb_min_a[r_child]
+    packed[:, 9:12] = bb_max_a[r_child]
+    packed[:, 12] = r_child
+    packed[:, 13] = count_a
+    packed[:, 14] = left_a  # leaf: first reordered prim
+
+    leaf_idx = np.nonzero(~inner)[0]
+    for k in range(MAX_LEAF):
+        prim = np.minimum(left_a[leaf_idx] + k, n_prims - 1)
+        valid = k < count_a[leaf_idx]
+        base = 16 + 12 * k
+        packed[leaf_idx, base:base + 3] = v0r[prim]
+        # degenerate edges => Moller-Trumbore det == 0 => guaranteed miss
+        packed[leaf_idx, base + 3:base + 6] = np.where(
+            valid[:, None], e1r[prim], 0.0)
+        packed[leaf_idx, base + 6:base + 9] = np.where(
+            valid[:, None], e2r[prim], 0.0)
+        packed[leaf_idx, 64 + k] = prim
+
     return BVHArrays(
         bb_min=jnp.asarray(bb_min_a),
         bb_max=jnp.asarray(bb_max_a),
         left=jnp.asarray(left_a),
         count=jnp.asarray(count_a),
+        packed=jnp.asarray(packed),
         v0=reorder(soup.v0),
         e1=reorder(soup.e1),
         e2=reorder(soup.e2),
@@ -120,6 +160,16 @@ def _tri_test(bvh: BVHArrays, prim, ro, rd, t_best):
     return ok, t, u, v
 
 
+def _slab_rows(lo, hi, ro, inv_rd, t_best):
+    """Slab test against per-ray boxes given as (R, 3) slices of the packed
+    node row. Returns (hit, t_near)."""
+    t0 = (lo - ro) * inv_rd
+    t1 = (hi - ro) * inv_rd
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return (t_near <= t_far) & (t_far > 1e-5) & (t_near < t_best), t_near
+
+
 def intersect(
     bvh: BVHArrays,
     ro: jnp.ndarray,
@@ -130,26 +180,23 @@ def intersect(
 ) -> Hit:
     """Closest-hit traversal for a wavefront of rays (R, 3).
 
-    Ordered traversal: a popped inner node slab-tests BOTH children and
-    pushes only the hit ones, far child first, with each child's entry
-    distance stored in a parallel f32 stack so stale entries (t_near >=
-    current t_best) are culled on pop without re-testing. `active=False`
-    rays start with an empty stack and idle through the lockstep loop at
-    zero marginal cost — the loop runs until every LIVE ray's stack is
-    empty, so masking dead rays shortens the whole wavefront's traversal
-    (the reference gets this for free from Dr.Jit wavefront compaction).
-    `any_hit=True` terminates a ray on its first accepted triangle hit
-    (shadow rays).
+    Per lockstep iteration each live ray pops one (node, entry-t) pair,
+    culls it against the shrunken t_best, and does ONE gather of the
+    68-wide packed row holding both children's boxes AND the leaf's 4
+    triangles — TPU gathers are ~row-count bound, not byte bound, so the
+    whole visit costs 2 gathers (stack pop + row) and 2 scatters (ordered
+    child pushes) regardless of how much geometry it touches. `active`
+    masks rays out of the loop entirely (idle rays cost nothing once
+    their stack drains); `any_hit` terminates a ray on its first accepted
+    hit (shadow rays).
     """
     r = ro.shape[0]
     inv_rd = 1.0 / jnp.where(jnp.abs(rd) < 1e-12, jnp.where(rd >= 0, 1e-12, -1e-12), rd)
-    # column STACK_DEPTH is write-scratch: pushes of non-hit children land
-    # there, so every push is ONE per-row scatter instead of an O(r x
-    # STACK_DEPTH) masked rewrite of the whole stack (the masked-where
-    # version moved ~100 MB per traversal iteration at 65k rays)
-    stack = jnp.zeros((r, STACK_DEPTH + 1), jnp.int32)
-    tstack = jnp.full((r, STACK_DEPTH + 1), -_INF, jnp.float32)
+    # fused stack: [:, :, 0] = node index (int32 bitcast), [:, :, 1] = entry t.
+    # Column STACK_DEPTH is write-scratch so every push is one scatter.
+    stk = jnp.zeros((r, STACK_DEPTH + 1, 2), jnp.float32)
     t_max_arr = jnp.full((r,), t_max, jnp.float32) if jnp.ndim(t_max) == 0 else t_max
+    stk = stk.at[:, :, 1].set(-_INF)
     ptr = (
         jnp.ones((r,), jnp.int32)
         if active is None
@@ -157,8 +204,7 @@ def intersect(
     )
 
     init = (
-        stack,
-        tstack,
+        stk,
         ptr,
         t_max_arr,
         jnp.zeros((r,), jnp.int32),
@@ -169,47 +215,65 @@ def intersect(
     rows = jnp.arange(r)
 
     def cond(state):
-        _, _, ptr, *_ = state
+        _, ptr, *_ = state
         return jnp.any(ptr > 0)
 
     def body(state):
-        stack, tstack, ptr, t_best, prim_best, u_best, v_best = state
+        stk, ptr, t_best, prim_best, u_best, v_best = state
         live = ptr > 0
         top = jnp.maximum(ptr - 1, 0)
-        node = stack[rows, top]
-        t_entry = tstack[rows, top]
-        node = jnp.where(live, node, 0)
+        ent = stk[rows, top]  # (R, 2) gather
+        node = jnp.where(live, jax.lax.bitcast_convert_type(ent[:, 0], jnp.int32), 0)
+        t_entry = ent[:, 1]
         ptr = jnp.where(live, ptr - 1, ptr)
         # cull stale entries: t_best may have shrunk since the push
         visit = live & (t_entry < t_best)
 
-        cnt = bvh.count[node]
+        row = bvh.packed[node]  # (R, 68) gather — boxes + leaf triangles
+        cnt = row[:, 13].astype(jnp.int32)
         is_leaf = visit & (cnt > 0)
         is_inner = visit & (cnt == 0)
 
-        # leaf: test up to MAX_LEAF prims
-        first = bvh.left[node]
-        for i in range(MAX_LEAF):
-            prim = jnp.clip(first + i, 0, bvh.v0.shape[0] - 1)
-            ok, t, u, v = _tri_test(bvh, prim, ro, rd, t_best)
-            ok &= is_leaf & (i < cnt)
+        # leaf: Moller-Trumbore on the 4 packed triangles (padding rows
+        # have zero edges => det == 0 => miss)
+        for k in range(MAX_LEAF):
+            b = 16 + 12 * k
+            v0 = row[:, b : b + 3]
+            e1 = row[:, b + 3 : b + 6]
+            e2 = row[:, b + 6 : b + 9]
+            pvec = jnp.cross(rd, e2)
+            det = jnp.sum(e1 * pvec, axis=-1)
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            s = ro - v0
+            u = jnp.sum(s * pvec, axis=-1) * inv_det
+            qvec = jnp.cross(s, e1)
+            v = jnp.sum(rd * qvec, axis=-1) * inv_det
+            t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+            ok = (
+                is_leaf
+                & (jnp.abs(det) > 1e-12)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > 1e-4)
+                & (t < t_best)
+            )
             t_best = jnp.where(ok, t, t_best)
-            prim_best = jnp.where(ok, prim, prim_best)
+            prim_best = jnp.where(ok, row[:, 64 + k].astype(jnp.int32), prim_best)
             u_best = jnp.where(ok, u, u_best)
             v_best = jnp.where(ok, v, v_best)
         if any_hit:
             # shadow query: first accepted hit ends the ray
             ptr = jnp.where(t_best < t_max_arr, 0, ptr)
 
-        # inner: slab-test both children, push hit ones far-first
-        l_child = node + 1
-        r_child = bvh.left[node]
-        hit_l, tn_l = _slab_test(bvh.bb_min[l_child], bvh.bb_max[l_child],
-                                 ro, inv_rd, t_best)
-        hit_r, tn_r = _slab_test(bvh.bb_min[r_child], bvh.bb_max[r_child],
-                                 ro, inv_rd, t_best)
+        # inner: slab-test both children from the row, push hit ones
+        # far-first so the near child pops first
+        hit_l, tn_l = _slab_rows(row[:, 0:3], row[:, 3:6], ro, inv_rd, t_best)
+        hit_r, tn_r = _slab_rows(row[:, 6:9], row[:, 9:12], ro, inv_rd, t_best)
         hit_l &= is_inner
         hit_r &= is_inner
+        l_child = node + 1
+        r_child = row[:, 12].astype(jnp.int32)
         l_near = tn_l <= tn_r
         c_far = jnp.where(l_near, r_child, l_child)
         t_far = jnp.where(l_near, tn_r, tn_l)
@@ -221,13 +285,15 @@ def intersect(
         for c, tn, h in ((c_far, t_far, h_far), (c_near, t_near_, h_near)):
             put = h & (ptr < STACK_DEPTH)
             slot = jnp.where(put, ptr, STACK_DEPTH)  # scratch col if no push
-            stack = stack.at[rows, slot].set(c)
-            tstack = tstack.at[rows, slot].set(tn)
+            val = jnp.stack(
+                [jax.lax.bitcast_convert_type(c, jnp.float32), tn], axis=-1
+            )
+            stk = stk.at[rows, slot].set(val)
             ptr = jnp.where(h, jnp.minimum(ptr + 1, STACK_DEPTH), ptr)
 
-        return stack, tstack, ptr, t_best, prim_best, u_best, v_best
+        return stk, ptr, t_best, prim_best, u_best, v_best
 
-    _, _, _, t, prim, u, v = jax.lax.while_loop(cond, body, init)
+    _, _, t, prim, u, v = jax.lax.while_loop(cond, body, init)
     return Hit(t, prim, u, v)
 
 
