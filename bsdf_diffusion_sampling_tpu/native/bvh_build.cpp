@@ -24,6 +24,14 @@
 namespace {
 
 constexpr int kBins = 16;
+// Beyond this depth SAH is abandoned for balanced median splits: SAH can
+// produce arbitrarily lopsided partitions, but the device traversal stack
+// is fixed (STACK_DEPTH in render/bvh.py) and silently drops pushes on
+// overflow. Median splits from depth d bound total depth by
+// d + ceil(log2(n / max_leaf)); with the 2^24 primitive cap enforced in
+// build_bvh this keeps max depth <= 24 + 22 = 46 < STACK_DEPTH(48). Also
+// bounds the host-side build recursion.
+constexpr int kSahDepthLimit = 24;
 
 struct Box {
     float mn[3] = {1e30f, 1e30f, 1e30f};
@@ -53,6 +61,7 @@ struct Builder {
     int64_t *prims;
     int n_nodes = 0;
     int64_t cursor = 0;
+    int max_depth = 0;
 
     int new_node() { return n_nodes++; }
 
@@ -62,8 +71,9 @@ struct Builder {
         for (int64_t i = 0; i < n; ++i) prims[cursor++] = idx[i];
     }
 
-    int build(int64_t* idx, int64_t n) {
+    int build(int64_t* idx, int64_t n, int depth) {
         int node = new_node();
+        max_depth = std::max(max_depth, depth);
         Box bounds;
         for (int64_t i = 0; i < n; ++i)
             bounds.grow(lo + 3 * idx[i], hi + 3 * idx[i]);
@@ -96,7 +106,7 @@ struct Builder {
         }
 
         int64_t mid = -1;
-        if (ext > 1e-12f) {
+        if (ext > 1e-12f && depth < kSahDepthLimit) {
             // binned SAH along the longest axis
             Box bin_box[kBins];
             int64_t bin_cnt[kBins] = {0};
@@ -156,8 +166,8 @@ struct Builder {
                              });
         }
 
-        build(idx, mid);  // left child == node + 1
-        int r = build(idx + mid, n - mid);
+        build(idx, mid, depth + 1);  // left child == node + 1
+        int r = build(idx + mid, n - mid, depth + 1);
         left[node] = (int32_t)r;
         count[node] = 0;
         return node;
@@ -169,9 +179,11 @@ struct Builder {
 extern "C" {
 
 // Returns the node count; caller provides arrays sized for 2*n nodes.
+// *max_depth_out receives the deepest node's depth (root = 0) so the
+// caller can assert it fits the fixed device traversal stack.
 int bvh_build(const float *lo, const float *hi, int64_t n, int max_leaf,
               float *bb_min, float *bb_max, int32_t *left, int32_t *count,
-              int64_t *prims) {
+              int64_t *prims, int32_t *max_depth_out) {
     Builder b;
     b.lo = lo;
     b.hi = hi;
@@ -185,7 +197,8 @@ int bvh_build(const float *lo, const float *hi, int64_t n, int max_leaf,
     b.prims = prims;
     std::vector<int64_t> idx(n);
     for (int64_t i = 0; i < n; ++i) idx[i] = i;
-    b.build(idx.data(), n);
+    b.build(idx.data(), n, 0);
+    *max_depth_out = b.max_depth;
     return b.n_nodes;
 }
 

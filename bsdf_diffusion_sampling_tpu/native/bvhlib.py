@@ -31,7 +31,7 @@ def _load() -> ctypes.CDLL:
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.bvh_build.argtypes = [
         f32p, f32p, ctypes.c_int64, ctypes.c_int,
-        f32p, f32p, i32p, i32p, i64p,
+        f32p, f32p, i32p, i32p, i64p, i32p,
     ]
     lib.bvh_build.restype = ctypes.c_int
     _lib = lib
@@ -40,8 +40,9 @@ def _load() -> ctypes.CDLL:
 
 def build_bvh_native(
     lo: np.ndarray, hi: np.ndarray, max_leaf: int
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (bb_min, bb_max, left, count, prims) trimmed to node count."""
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Returns (bb_min, bb_max, left, count, prims, max_depth) trimmed to
+    node count; max_depth is the deepest node's depth (root = 0)."""
     lib = _load()
     n = len(lo)
     cap = 2 * n
@@ -50,10 +51,11 @@ def build_bvh_native(
     left = np.empty(cap, np.int32)
     count = np.empty(cap, np.int32)
     prims = np.empty(n, np.int64)
+    max_depth = np.zeros(1, np.int32)
     n_nodes = lib.bvh_build(
         np.ascontiguousarray(lo, np.float32),
         np.ascontiguousarray(hi, np.float32),
-        n, max_leaf, bb_min, bb_max, left, count, prims,
+        n, max_leaf, bb_min, bb_max, left, count, prims, max_depth,
     )
     return (bb_min[:n_nodes], bb_max[:n_nodes], left[:n_nodes],
-            count[:n_nodes], prims)
+            count[:n_nodes], prims, int(max_depth[0]))

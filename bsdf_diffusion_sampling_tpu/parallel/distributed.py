@@ -34,15 +34,22 @@ def init_distributed(
     Auto-detects the standard TPU pod environment (JAX reads the TPU
     metadata itself when no arguments are given); explicit arguments serve
     GPU/CPU clusters or tests. Safe to call twice and on single hosts.
+
+    Order matters: the env-var / explicit-args decision happens BEFORE any
+    jax API that instantiates backends (jax.process_count() would start
+    the local backend, after which jax.distributed.initialize refuses with
+    "must be called before backends are initialized"). Call this first
+    thing in every entry point.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized by the runtime
     explicit = coordinator_address is not None
     in_pod_env = any(
-        v in os.environ for v in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")
+        v in os.environ
+        for v in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")
     )
     if not (explicit or in_pod_env):
-        return False
+        # no multi-host signal; process_count() may now safely start the
+        # local backend (covers runtimes that pre-initialized distributed)
+        return jax.process_count() > 1
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -50,10 +57,22 @@ def init_distributed(
             process_id=process_id,
         )
     except RuntimeError as e:
-        # tolerate "already initialized" and "backend already started"
-        # (single-host dev setups export pod-style env vars; treat them as
-        # non-distributed rather than crashing the entry point)
-        if "already" not in str(e) and "before" not in str(e):
+        msg = str(e)
+        if "already" in msg:
+            pass  # idempotent second call
+        elif "before" in msg:
+            # backends were instantiated before init_distributed(); this
+            # is a caller bug — surface it instead of silently running
+            # single-host on a multi-host job
+            raise RuntimeError(
+                "init_distributed() must run before any jax API that "
+                "initializes backends (jax.devices/process_count/first op)"
+            ) from e
+        elif not explicit:
+            # pod-style env vars on a single-host dev box: coordinator
+            # auto-detection failed; treat as non-distributed
+            return False
+        else:
             raise
     return jax.process_count() > 1
 

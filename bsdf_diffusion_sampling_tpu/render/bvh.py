@@ -63,14 +63,34 @@ def build_bvh(soup: TriangleSoup) -> BVHArrays:
     from bsdf_diffusion_sampling_tpu.native.bvhlib import build_bvh_native
 
     v0, e1, e2 = soup.v0, soup.e1, soup.e2
+    # the packed traversal table stores child/prim indices as float32 —
+    # exact only up to 2^24 (the native builder's depth bound also assumes
+    # this cap; see bvh_build.cpp kSahDepthLimit)
+    if len(v0) >= (1 << 24):
+        raise ValueError(
+            f"scene has {len(v0)} primitives; the float32-packed traversal "
+            "table supports < 2^24"
+        )
     lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
     hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
-    bb_min_a, bb_max_a, left_a, count_a, perm = build_bvh_native(lo, hi, MAX_LEAF)
+    bb_min_a, bb_max_a, left_a, count_a, perm, max_depth = build_bvh_native(
+        lo, hi, MAX_LEAF
+    )
+    # ordered DFS pushes two children per pop: stack need == depth + 1
+    if max_depth + 1 > STACK_DEPTH:
+        raise ValueError(
+            f"BVH depth {max_depth} exceeds traversal STACK_DEPTH {STACK_DEPTH}"
+        )
 
     def reorder(x):
         return jnp.asarray(np.asarray(x)[perm])
 
     n_nodes = len(count_a)
+    if n_nodes >= (1 << 24):
+        raise ValueError(
+            f"BVH has {n_nodes} nodes; float32-packed child indices "
+            "support < 2^24"
+        )
     v0r = np.asarray(soup.v0)[perm]
     e1r = np.asarray(soup.e1)[perm]
     e2r = np.asarray(soup.e2)[perm]
@@ -125,39 +145,6 @@ class Hit(NamedTuple):
     prim: jnp.ndarray  # (R,) primitive index (reordered space)
     u: jnp.ndarray  # (R,) barycentric
     v: jnp.ndarray
-
-
-def _slab_test(bb_min, bb_max, ro, inv_rd, t_best):
-    """Returns (hit, t_near) — t_near orders near-child-first traversal."""
-    t0 = (bb_min - ro) * inv_rd
-    t1 = (bb_max - ro) * inv_rd
-    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    return (t_near <= t_far) & (t_far > 1e-5) & (t_near < t_best), t_near
-
-
-def _tri_test(bvh: BVHArrays, prim, ro, rd, t_best):
-    """Möller-Trumbore for one gathered primitive per ray."""
-    v0 = bvh.v0[prim]
-    e1 = bvh.e1[prim]
-    e2 = bvh.e2[prim]
-    p = jnp.cross(rd, e2)
-    det = jnp.sum(e1 * p, axis=-1)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    s = ro - v0
-    u = jnp.sum(s * p, axis=-1) * inv_det
-    q = jnp.cross(s, e1)
-    v = jnp.sum(rd * q, axis=-1) * inv_det
-    t = jnp.sum(e2 * q, axis=-1) * inv_det
-    ok = (
-        (jnp.abs(det) > 1e-12)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > 1e-4)
-        & (t < t_best)
-    )
-    return ok, t, u, v
 
 
 def _slab_rows(lo, hi, ro, inv_rd, t_best):
@@ -263,8 +250,13 @@ def intersect(
             u_best = jnp.where(ok, u, u_best)
             v_best = jnp.where(ok, v, v_best)
         if any_hit:
-            # shadow query: first accepted hit ends the ray
-            ptr = jnp.where(t_best < t_max_arr, 0, ptr)
+            # shadow query: first accepted hit ends the ray — drop the
+            # remaining stack AND suppress this iteration's child pushes
+            # (a terminated ray that popped an inner node must not re-arm
+            # itself by pushing that node's children)
+            terminated = t_best < t_max_arr
+            ptr = jnp.where(terminated, 0, ptr)
+            is_inner &= ~terminated
 
         # inner: slab-test both children from the row, push hit ones
         # far-first so the near child pops first

@@ -291,6 +291,19 @@ def render(
         rows_per_tile = max(1, max_rays_per_pass // (w * spp_chunk))
     else:
         rows_per_tile = h
+    if mesh is not None and rows_per_tile < h:
+        # every tile's wavefront w*rows*spp_chunk must divide the mesh size
+        # — including the remainder tile, so rows_per_tile must divide h
+        n_dev = mesh.devices.size
+        rpt = min(rows_per_tile, h)
+        while rpt > 1 and (h % rpt != 0 or (w * rpt * spp_chunk) % n_dev != 0):
+            rpt -= 1
+        if (w * rpt * spp_chunk) % n_dev != 0:
+            raise ValueError(
+                f"cannot tile {w}x{h}@{spp_chunk}spp into mesh-divisible "
+                f"wavefronts (mesh size {n_dev})"
+            )
+        rows_per_tile = rpt
     row_tiles = [
         (r0, min(rows_per_tile, h - r0)) for r0 in range(0, h, rows_per_tile)
     ]
