@@ -37,7 +37,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gt: measured (scene_measured) or analytic principled"
                         " (scene_bsdf) sampling; neural-*: trained sampler")
     p.add_argument("--checkpoint", default="",
-                   help="final.npz from cli.train (required for neural modes)")
+                   help="final.npz from cli.train (neural modes with"
+                        " --weights checkpoint)")
+    p.add_argument("--weights", choices=["checkpoint", "reference"],
+                   default="checkpoint",
+                   help="neural modes: 'checkpoint' loads one cli.train npz;"
+                        " 'reference' imports the upstream .pth checkpoints"
+                        " per matball (works for the 12-ball array scenes)")
+    p.add_argument("--reference-ckpts",
+                   default="/root/reference/rendering/checkpoints_new")
     p.add_argument("--spp", type=int, default=64)
     p.add_argument("--spp-chunk", type=int, default=4)
     p.add_argument("--max-depth", type=int, default=12)
@@ -55,64 +63,92 @@ def tonemap_srgb(img: np.ndarray) -> np.ndarray:
     return np.clip(srgb, 0.0, 1.0)
 
 
-def main(argv=None):
-    args = build_parser().parse_args(argv)
+def _model_cfgs(domain):
+    from bsdf_diffusion_sampling_tpu.core.config import ModelConfig
+
+    if domain == "disk":
+        cfg = ModelConfig(domain="disk")
+        return cfg, cfg  # disk self-distills
+    cfg = ModelConfig(domain=domain, velocity_hidden=32, velocity_layers=4)
+    teacher = ModelConfig(domain=domain, velocity_hidden=64, velocity_layers=6)
+    return cfg, teacher
+
+
+def _load_neural_params(ball, domain, args):
+    """Per-ball neural weights: one cli.train npz, or the upstream .pth
+    checkpoint directory matching the ball's material."""
+    if args.weights == "reference":
+        from bsdf_diffusion_sampling_tpu.interop.torch_checkpoints import (
+            import_reference_material,
+        )
+
+        material = ball["filename"] if ball["idx"] < 0 else str(ball["idx"])
+        return import_reference_material(args.reference_ckpts, material, domain)
+    import jax
+
+    from bsdf_diffusion_sampling_tpu.models import get_base, velocity_init
+    from bsdf_diffusion_sampling_tpu.train import checkpoint as ckpt
+
+    cfg, teacher_cfg = _model_cfgs(domain)
+    base = get_base(domain)
+    template = {
+        "base": base.init(jax.random.key(0)),
+        "diffusion": velocity_init(jax.random.key(0), cfg),
+        "teacher": velocity_init(jax.random.key(0), teacher_cfg),
+        "rectified": velocity_init(jax.random.key(0), cfg),
+    }
+    params, _ = ckpt.load_pytree(args.checkpoint, template)
+    return params
+
+
+def build_matball(ball: dict, args):
+    """One MatballFns for one mybsdf hook (gt or neural)."""
     from bsdf_diffusion_sampling_tpu.bsdf import load_measured
     from bsdf_diffusion_sampling_tpu.render.integrator import (
         measured_matball,
         neural_matball,
-        render,
+        neural_matball_sphere,
+        principled_matball,
     )
+
+    table = ball["idx"] >= 0  # scene_bsdf/array2 style (principled table)
+    if table:
+        from bsdf_diffusion_sampling_tpu.bsdf.materials import BSDF_MATERIALS
+
+        mat, albedo, brdf = BSDF_MATERIALS[ball["idx"]], ball["albedo"], None
+    else:
+        mat = albedo = None
+        brdf = load_measured(
+            os.path.join(args.bsdf_dir, ball["filename"] + ".bsdf"))
+
+    if args.mode == "gt":
+        return principled_matball(mat, albedo) if table else measured_matball(brdf)
+
+    from bsdf_diffusion_sampling_tpu.render.neural import make_neural_bsdf
+
+    domain = {"neural-disk": "disk", "neural-spherical": "spherical",
+              "neural-sphere": "sphere_full"}[args.mode]
+    cfg, _ = _model_cfgs(domain)
+    params = _load_neural_params(ball, domain, args)
+    nb = make_neural_bsdf(domain, cfg, params["rectified"], params["base"], brdf)
+    if args.mode == "neural-sphere":
+        return neural_matball_sphere(nb, mat, albedo)
+    return neural_matball(nb)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from bsdf_diffusion_sampling_tpu.render.integrator import render
     from bsdf_diffusion_sampling_tpu.render.scene import load_scene
 
     scene = load_scene(args.scene, width=args.width, height=args.height)
-    table_scene = scene.desc.matball_idx >= 0  # scene_bsdf.xml style
-    brdf = None
-    mat = albedo = None
-    if table_scene:
-        from bsdf_diffusion_sampling_tpu.bsdf.materials import BSDF_MATERIALS
-
-        mat = BSDF_MATERIALS[scene.desc.matball_idx]
-        albedo = scene.desc.matball_albedo
-    else:
-        brdf = load_measured(os.path.join(args.bsdf_dir, args.material + ".bsdf"))
-
-    if args.mode == "gt":
-        from bsdf_diffusion_sampling_tpu.render.integrator import principled_matball
-
-        mb = principled_matball(mat, albedo) if table_scene else measured_matball(brdf)
-    else:
-        import jax
-
-        from bsdf_diffusion_sampling_tpu.core.config import ModelConfig
-        from bsdf_diffusion_sampling_tpu.models import get_base, velocity_init
-        from bsdf_diffusion_sampling_tpu.render.integrator import neural_matball_sphere
-        from bsdf_diffusion_sampling_tpu.render.neural import make_neural_bsdf
-        from bsdf_diffusion_sampling_tpu.train import checkpoint as ckpt
-
-        domain = {"neural-disk": "disk", "neural-spherical": "spherical",
-                  "neural-sphere": "sphere_full"}[args.mode]
-        if domain == "disk":
-            cfg = ModelConfig(domain="disk")
-            teacher_cfg = cfg  # disk self-distills
-        else:
-            cfg = ModelConfig(domain=domain, velocity_hidden=32,
-                              velocity_layers=4)
-            teacher_cfg = ModelConfig(domain=domain, velocity_hidden=64,
-                                      velocity_layers=6)
-        base = get_base(domain)
-        template = {
-            "base": base.init(jax.random.key(0)),
-            "diffusion": velocity_init(jax.random.key(0), cfg),
-            "teacher": velocity_init(jax.random.key(0), teacher_cfg),
-            "rectified": velocity_init(jax.random.key(0), cfg),
-        }
-        params, _ = ckpt.load_pytree(args.checkpoint, template)
-        nb = make_neural_bsdf(domain, cfg, params["rectified"], params["base"], brdf)
-        if args.mode == "neural-sphere":
-            mb = neural_matball_sphere(nb, mat, albedo)
-        else:
-            mb = neural_matball(nb)
+    balls = [dict(b) for b in scene.desc.matballs]
+    if len(balls) == 1 and balls[0]["idx"] < 0:
+        # single-measured-ball scenes render whatever --material says
+        # (the reference renders scene_measured.xml per material,
+        # `brdf_measured_disk.py:26-29,133`)
+        balls[0]["filename"] = args.material
+    mb = tuple(build_matball(b, args) for b in balls)
 
     t0 = time.perf_counter()
     img = render(scene, mb, seed=args.seed, spp=args.spp,

@@ -44,6 +44,7 @@ jnp.dot does".
 from __future__ import annotations
 
 import functools
+import math
 from typing import List, Tuple
 
 import jax
@@ -301,7 +302,9 @@ def _pack_base_weights(base_params: dict, block: int) -> jnp.ndarray:
     d_in, hid = w0.shape
     pack = LANES // block
     eye = jnp.eye(pack, dtype=jnp.float32)
-    silu1 = float(jax.nn.silu(1.0))
+    # silu(1) as a python constant — float() on a jnp value would fail when
+    # this packing is traced inside a jitted caller (the render programs)
+    silu1 = 1.0 / (1.0 + math.exp(-1.0))
 
     m0 = jnp.zeros((block, block), jnp.float32)
     m0 = m0.at[3 : 3 + d_in, :hid].set(w0)
@@ -311,6 +314,50 @@ def _pack_base_weights(base_params: dict, block: int) -> jnp.ndarray:
     m1 = m1.at[:hid, :4].set(w1)
     m1 = m1.at[block - 1, :4].set(b1 / silu1)  # undo silu on the one-lane
     return jnp.stack([jnp.kron(eye, m0), jnp.kron(eye, m1)])
+
+
+def _base_heads(cond, bw_ref, col):
+    """Packed disk base-density heads from the condition rows: loc at
+    blockcols 0:2, log_scale rolled onto blockcols 0:2."""
+    f32 = jnp.float32
+    z = jnp.dot(cond, bw_ref[0], preferred_element_type=f32)
+    a = z * jax.nn.sigmoid(z)
+    heads = jnp.dot(a, bw_ref[1], preferred_element_type=f32)
+    loc = jnp.where(col < 2, heads, 0.0)
+    ls = pltpu.roll(jnp.where((col >= 2) & (col < 4), heads, 0.0),
+                    shift=LANES - 2, axis=1)  # log_scale onto cols 0:2
+    return loc, ls
+
+
+def _disk_ode_loop(x_init, cond, w_ref, *, T, n_layers, tile, col, reverse, mxu):
+    """T-step disk-domain Euler transport with per-step 2x2 dets, shared by
+    the sample+pdf and pdf-query kernels. Returns (x_fin, det_fin) with x on
+    blockcols 0:2 and the det product on blockcol 0."""
+    f32 = jnp.float32
+    h = 1.0 / T
+    sign = -1.0 if reverse else 1.0
+    is0, is1, is2 = (col == 0), (col == 1), (col == 2)
+
+    def body(t, carry):
+        s, det = carry
+        tt = t.astype(f32)
+        alpha = (1.0 - tt * h) if reverse else (tt * h)
+        inp = jnp.where(col < 2, s, 0.0) + jnp.where(is2, alpha, 0.0) + cond
+        t0 = jnp.where(is0, 1.0, 0.0).astype(f32)
+        t1 = jnp.where(is1, 1.0, 0.0).astype(f32)
+        big = jnp.concatenate([inp, t0, t1], axis=0)
+        v, j0, j1 = _mlp_with_tangents(big, w_ref, n_layers, tile, mxu)
+        a_ = 1.0 + sign * h * jnp.where(is0, j0, 0.0)
+        b_ = sign * h * jnp.where(is0, j1, 0.0)
+        c_ = pltpu.roll(sign * h * jnp.where(is1, j0, 0.0),
+                        shift=LANES - 1, axis=1)
+        d_ = pltpu.roll(1.0 + sign * h * jnp.where(is1, j1, 0.0),
+                        shift=LANES - 1, axis=1)
+        det = det * jnp.where(is0, a_ * d_ - b_ * c_, 1.0)
+        return s + sign * h * jnp.where(col < 2, v, 0.0), det
+
+    det0 = jnp.ones((tile, LANES), f32)
+    return jax.lax.fori_loop(0, T, body, (x_init, det0))
 
 
 def _fused_sample_pdf_kernel(
@@ -332,19 +379,13 @@ def _fused_sample_pdf_kernel(
         # normals are precomputed with jax.random and passed in
         eps_ref, bw_ref, w_ref, out_ref = rest_refs
     tile = c_ref.shape[0]
-    h = 1.0 / T
     col = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1) % block
     is0, is1, is2 = (col == 0), (col == 1), (col == 2)
     f32 = jnp.float32
     cond = c_ref[:]
 
     # ---- base heads: loc at cols 0:2, log_scale at cols 2:4
-    z = jnp.dot(cond, bw_ref[0], preferred_element_type=f32)
-    a = z * jax.nn.sigmoid(z)
-    heads = jnp.dot(a, bw_ref[1], preferred_element_type=f32)
-    loc = jnp.where(col < 2, heads, 0.0)
-    ls = pltpu.roll(jnp.where((col >= 2) & (col < 4), heads, 0.0),
-                    shift=LANES - 2, axis=1)  # log_scale onto cols 0:2
+    loc, ls = _base_heads(cond, bw_ref, col)
 
     # ---- in-kernel standard normals (Box-Muller on prng bits)
     if use_prng:
@@ -371,23 +412,10 @@ def _fused_sample_pdf_kernel(
     log_p0 = jnp.where(is0, pair_sum - jnp.log(2.0 * jnp.pi), 0.0)
 
     # ---- T-step ODE with per-step dets (disk layout: alpha at col 2)
-    def body(t, carry):
-        s, det = carry
-        alpha = t.astype(f32) * h
-        inp = jnp.where(col < 2, s, 0.0) + jnp.where(is2, alpha, 0.0) + cond
-        t0 = jnp.where(is0, 1.0, 0.0).astype(f32)
-        t1 = jnp.where(is1, 1.0, 0.0).astype(f32)
-        big = jnp.concatenate([inp, t0, t1], axis=0)
-        v, j0, j1 = _mlp_with_tangents(big, w_ref, n_layers, tile, mxu)
-        a_ = 1.0 + h * jnp.where(is0, j0, 0.0)
-        b_ = h * jnp.where(is0, j1, 0.0)
-        c_ = pltpu.roll(h * jnp.where(is1, j0, 0.0), shift=LANES - 1, axis=1)
-        d_ = pltpu.roll(1.0 + h * jnp.where(is1, j1, 0.0), shift=LANES - 1, axis=1)
-        det = det * jnp.where(is0, a_ * d_ - b_ * c_, 1.0)
-        return s + h * jnp.where(col < 2, v, 0.0), det
-
-    det0 = jnp.ones((tile, LANES), f32)
-    s_fin, det_fin = jax.lax.fori_loop(0, T, body, (x0, det0))
+    s_fin, det_fin = _disk_ode_loop(
+        x0, cond, w_ref, T=T, n_layers=n_layers, tile=tile, col=col,
+        reverse=False, mxu=mxu,
+    )
 
     pdf = jnp.where(is0, jnp.exp(log_p0) / det_fin, 0.0)
     out = jnp.where(col < 2, s_fin, 0.0)
@@ -543,6 +571,108 @@ def make_fused_sample_pdf_disk(
         return _split(_compact(out))
 
     return run
+
+
+def _fused_pdf_kernel(
+    s_ref,  # (TILE, 128) packed query x at blockcols 0:2
+    c_ref,  # (TILE, 128) cond at blockcols 3:25, 1.0 at blockcol block-1
+    bw_ref,  # (2, 128, 128) packed base weights
+    w_ref,  # (L, 128, 128) packed velocity weights
+    out_ref,  # (TILE, 128): 0:2 = recovered x0, col 2 = pdf
+    *,
+    T: int,
+    n_layers: int,
+    block: int,
+    mxu_dtype: str = "bfloat16",
+):
+    """Disk pdf query fully fused: reverse T-step ODE with det products,
+    then the base density at the recovered x0 — one kernel for the whole of
+    `network_pdf_disk` (`mlp_brdf_sampling.py:69-103`)."""
+    mxu = jnp.dtype(mxu_dtype)
+    tile = s_ref.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1) % block
+    is0 = col == 0
+    cond = c_ref[:]
+
+    x0, det_fin = _disk_ode_loop(
+        s_ref[:], cond, w_ref, T=T, n_layers=n_layers, tile=tile, col=col,
+        reverse=True, mxu=mxu,
+    )
+
+    # base log-prob at x0: z = (x0 - loc) * exp(-ls) per column
+    loc, ls = _base_heads(cond, bw_ref, col)
+    z = jnp.where(col < 2, (x0 - loc) * jnp.exp(-ls), 0.0)
+    per_col = jnp.where(col < 2, -ls - 0.5 * z * z, 0.0)
+    pair_sum = per_col + pltpu.roll(per_col, shift=LANES - 1, axis=1)
+    log_p0 = jnp.where(is0, pair_sum - jnp.log(2.0 * jnp.pi), 0.0)
+
+    pdf = jnp.where(is0, jnp.exp(log_p0) * det_fin, 0.0)
+    out = jnp.where(col < 2, x0, 0.0) + pltpu.roll(pdf, shift=2, axis=1)
+    out_ref[:] = out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T", "n_layers", "block", "tile", "mxu_dtype")
+)
+def _fused_pdf_call(s_packed, c_packed, bw_packed, w_packed, *, T, n_layers,
+                    block, tile, mxu_dtype="bfloat16"):
+    n_rows = s_packed.shape[0]
+    grid = (n_rows // tile,)
+    kernel = functools.partial(
+        _fused_pdf_kernel, T=T, n_layers=n_layers, block=block,
+        mxu_dtype=mxu_dtype,
+    )
+    tile_spec = pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        grid=grid,
+        in_specs=[
+            tile_spec,
+            tile_spec,
+            pl.BlockSpec((2, LANES, LANES), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_packed.shape[0], LANES, LANES), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tile_spec,
+        interpret=_INTERPRET,
+    )(s_packed, c_packed, bw_packed, w_packed)
+
+
+def fused_pdf_disk(
+    v_params: List[dict],
+    base_params: dict,
+    x: jnp.ndarray,
+    cond_enc: jnp.ndarray,
+    T: int,
+    tile: int = 256,
+    mxu_dtype: str = "bfloat16",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-kernel disk pdf query: (pdf, x0) for query points `x` (N, 2).
+
+    Functionally equivalent to `ode.ode_pdf` (`mlp_brdf_sampling.py:69-103`);
+    that XLA path is the parity oracle. All packing is jnp, so this traces
+    cleanly inside a jitted caller (the per-bounce render program)."""
+    n = x.shape[0]
+    block = _block_size(v_params)
+    pack = LANES // block
+    n_pad = ((n + tile * pack - 1) // (tile * pack)) * (tile * pack)
+
+    s_packed = _pack_rows(x.astype(jnp.float32), 0, block, n_pad)
+    c_packed = _pack_rows(cond_enc.astype(jnp.float32), 3, block, n_pad)
+    ones_col = jnp.zeros((n_pad, block), jnp.float32).at[:, block - 1].set(1.0)
+    c_packed = c_packed + ones_col.reshape(n_pad // pack, LANES)
+    bw_packed = _pack_base_weights(base_params, block)
+    w_packed = pack_weights(v_params, block)
+
+    out = _fused_pdf_call(
+        s_packed, c_packed, bw_packed, w_packed,
+        T=T, n_layers=len(v_params), block=block, tile=tile,
+        mxu_dtype=mxu_dtype,
+    )
+    rows = _unpack_rows(out, n, block)
+    return rows[:, 2], rows[:, 0:2]
 
 
 def fused_ode_transport(

@@ -60,17 +60,22 @@ def init_distributed(
         msg = str(e)
         if "already" in msg:
             pass  # idempotent second call
-        elif "before" in msg:
-            # backends were instantiated before init_distributed(); this
-            # is a caller bug — surface it instead of silently running
-            # single-host on a multi-host job
+        elif "before" in msg and explicit:
+            # backends were instantiated before an EXPLICIT multi-host
+            # bring-up; this is a caller bug — surface it instead of
+            # silently running single-host on a multi-host job
             raise RuntimeError(
                 "init_distributed() must run before any jax API that "
                 "initializes backends (jax.devices/process_count/first op)"
             ) from e
         elif not explicit:
-            # pod-style env vars on a single-host dev box: coordinator
-            # auto-detection failed; treat as non-distributed
+            # auto-detect path on a single-host dev box: either the
+            # coordinator lookup failed, or backends are already up under
+            # stray pod env vars (the axon PJRT plugin exports
+            # TPU_WORKER_HOSTNAMES even on one host) — trust
+            # process_count() / report non-distributed
+            if "before" in msg:
+                return jax.process_count() > 1
             return False
         else:
             raise

@@ -35,8 +35,7 @@ class EnvMap(NamedTuple):
     to_local: jnp.ndarray  # (3, 3) world->env
 
 
-def load_envmap(path: str, to_world: np.ndarray | None = None, scale: float = 1.0) -> EnvMap:
-    img = read_exr(path) * scale
+def envmap_from_image(img: np.ndarray, to_world: np.ndarray | None = None) -> EnvMap:
     h, w, _ = img.shape
     # pure numpy here: eager jnp ops on the tunneled-TPU backend pay
     # seconds-per-op transfer penalties for this array layout
@@ -53,6 +52,18 @@ def load_envmap(path: str, to_world: np.ndarray | None = None, scale: float = 1.
         to_world=jnp.asarray(r, jnp.float32),
         to_local=jnp.asarray(np.linalg.inv(r), jnp.float32),
     )
+
+
+def load_envmap(path: str, to_world: np.ndarray | None = None, scale: float = 1.0) -> EnvMap:
+    return envmap_from_image(read_exr(path) * scale, to_world)
+
+
+def black_envmap() -> EnvMap:
+    """Zero-radiance placeholder for scenes lit only by point lights
+    (`disney_bsdf_array0_pointlight.xml:384`): eval returns 0, the NEE
+    envmap branch contributes nothing, and the integrator needs no
+    structural changes."""
+    return envmap_from_image(np.zeros((2, 4, 3), np.float32))
 
 
 def _dir_to_uv(d_local: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -52,13 +52,19 @@ GRAY = 0.18  # `scene_measured.xml:46`
 
 
 class MatballFns(NamedTuple):
-    """Local-frame material callbacks for the preview object."""
+    """Local-frame material callbacks for one preview object."""
 
     sample: Callable  # (key, wi_local) -> (wo_local, pdf)
     eval: Callable  # (wi_local, wo_local) -> (N, 3) f*cos
     pdf: Callable  # (wi_local, wo_local) -> (N,)
     weight_filter: Callable  # (rgb_weight) -> rgb_weight (firefly policy)
     transmissive: bool = False  # full-sphere BSDF (wo may go below surface)
+
+
+def _as_tuple(matball) -> tuple:
+    """Normalize to a tuple of MatballFns — ball slot i shades material id
+    MAT_BALL + i (the 3x4 array scenes carry 12 distinct mybsdf hooks)."""
+    return (matball,) if isinstance(matball, MatballFns) else tuple(matball)
 
 
 def mis_weight(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray) -> jnp.ndarray:
@@ -74,38 +80,67 @@ def _albedo(mat_id, uv):
     return jnp.where((mat_id == MAT_PLANE)[..., None], plane, gray)
 
 
-def _shade_eval(matball: MatballFns, mat_id, uv, wi_l, wo_l):
+# Multi-matball dispatch is masked evaluation: every ball's callbacks run
+# on the whole wavefront and rows select their own material — the
+# XLA-friendly alternative to queue compaction (SURVEY.md §7e). Cost is
+# n_balls x the ball shading; acceptable for <= 12 balls per scene and
+# trivially correct. (A future packing could route per-row weights into one
+# fused kernel instead.)
+
+
+def _shade_eval(matballs: tuple, mat_id, uv, wi_l, wo_l):
     """f*cos for all materials, masked by mat_id."""
-    diff = diffuse_eval(_albedo(mat_id, uv), wo_l)
-    ball = matball.eval(wi_l, wo_l)
-    return jnp.where((mat_id == MAT_BALL)[..., None], ball, diff)
+    out = diffuse_eval(_albedo(mat_id, uv), wo_l)
+    for i, mb in enumerate(matballs):
+        ball = mb.eval(wi_l, wo_l)
+        out = jnp.where((mat_id == MAT_BALL + i)[..., None], ball, out)
+    return out
 
 
-def _shade_pdf(matball: MatballFns, mat_id, wi_l, wo_l):
-    diff = diffuse_pdf(wo_l)
-    ball = matball.pdf(wi_l, wo_l)
-    return jnp.where(mat_id == MAT_BALL, ball, diff)
+def _shade_pdf(matballs: tuple, mat_id, wi_l, wo_l):
+    out = diffuse_pdf(wo_l)
+    for i, mb in enumerate(matballs):
+        out = jnp.where(mat_id == MAT_BALL + i, mb.pdf(wi_l, wo_l), out)
+    return out
 
 
-def _shade_sample(matball: MatballFns, key, mat_id, wi_l):
-    k1, k2 = jax.random.split(key)
-    wo_d, pdf_d = cosine_sample(k1, wi_l.shape[:-1])
-    wo_b, pdf_b = matball.sample(k2, wi_l)
-    is_ball = mat_id == MAT_BALL
-    wo = jnp.where(is_ball[..., None], wo_b, wo_d)
-    pdf = jnp.where(is_ball, pdf_b, pdf_d)
+def _shade_sample(matballs: tuple, key, mat_id, wi_l):
+    keys = jax.random.split(key, 1 + len(matballs))
+    wo, pdf = cosine_sample(keys[0], wi_l.shape[:-1])
+    for i, mb in enumerate(matballs):
+        wo_b, pdf_b = mb.sample(keys[1 + i], wi_l)
+        is_b = mat_id == MAT_BALL + i
+        wo = jnp.where(is_b[..., None], wo_b, wo)
+        pdf = jnp.where(is_b, pdf_b, pdf)
     return wo, pdf
+
+
+def _transmissive_mask(matballs: tuple, mat_id):
+    m = jnp.zeros(mat_id.shape, bool)
+    for i, mb in enumerate(matballs):
+        if mb.transmissive:
+            m = m | (mat_id == MAT_BALL + i)
+    return m
+
+
+def _ball_filter(matballs: tuple, mat_id, w_rgb):
+    out = w_rgb
+    for i, mb in enumerate(matballs):
+        out = jnp.where((mat_id == MAT_BALL + i)[..., None],
+                        mb.weight_filter(w_rgb), out)
+    return out
 
 
 @partial(jax.jit, static_argnames=("matball",))
 def _bounce_program(
     bvh: BVHArrays,
     env: EnvMap,
+    lights: jnp.ndarray,  # (P, 6) point lights: position, intensity
     state,
     key: jax.Array,
     depth,
     *,
-    matball: MatballFns,
+    matball: tuple,
 ):
     """ONE path-tracing bounce for the whole wavefront — the per-bounce
     "megakernel call" of the reference (`brdf_measured_disk.py:66`), as a
@@ -120,6 +155,7 @@ def _bounce_program(
     Pallas sampler can later slot in without embedding pallas_call in a
     giant jit (pathological Mosaic compile times).
     """
+    matballs = matball
     ro, rd, px, L, beta, alive, prev_pdf = state
     n = ro.shape[0]
     k_nee, k_bsdf, k_rr = jax.random.split(jax.random.fold_in(key, depth), 3)
@@ -155,31 +191,53 @@ def _bounce_program(
     wi_l = to_local(n_sh, t, bt, -rd)
     alive = alive & (wi_l[..., 2] > 0)
 
-    # ---- NEE: sample the envmap, shadow-test, MIS
+    trans_mask = _transmissive_mask(matballs, mat_id)
+
+    # ---- NEE against the envmap: sample, shadow-test, MIS
     u_nee = jax.random.uniform(k_nee, (n, 2))
     d_env, le_nee, pdf_e = sample_env(env, u_nee)
     wo_nee_l = to_local(n_sh, t, bt, d_env)
-    f_nee = _shade_eval(matball, mat_id, uv, wi_l, wo_nee_l)
-    pdf_b_at_nee = _shade_pdf(matball, mat_id, wi_l, wo_nee_l)
-    nee_below_ok = matball.transmissive & (mat_id == MAT_BALL)
+    f_nee = _shade_eval(matballs, mat_id, uv, wi_l, wo_nee_l)
+    pdf_b_at_nee = _shade_pdf(matballs, mat_id, wi_l, wo_nee_l)
     shadow_o = p_hit + n_sh * jnp.where(
         wo_nee_l[..., 2] >= 0, RAY_EPS, -RAY_EPS
     )[..., None]
-    nee_cand = alive & (pdf_e > 1e-9) & ((wo_nee_l[..., 2] > 0) | nee_below_ok)
+    nee_cand = alive & (pdf_e > 1e-9) & ((wo_nee_l[..., 2] > 0) | trans_mask)
     occ = occluded(bvh, shadow_o, d_env, jnp.full((n,), 1e6), active=nee_cand)
     nee_ok = nee_cand & ~occ
     contrib = beta * f_nee * (le_nee / jnp.maximum(pdf_e, 1e-9)[..., None])
     contrib = contrib * mis_weight(pdf_e, pdf_b_at_nee)[..., None]
     L = L + jnp.where(nee_ok[..., None], contrib, 0.0)
 
+    # ---- NEE against point lights (delta emitters: deterministic
+    # direction, no MIS — BSDF sampling can never hit them;
+    # `disney_bsdf_array0_pointlight.xml:384-387`). Static unrolled loop
+    # over the scene's (few) lights.
+    for li in range(lights.shape[0]):
+        lp, inten = lights[li, :3], lights[li, 3:]
+        dvec = lp[None, :] - p_hit
+        dist = jnp.maximum(jnp.linalg.norm(dvec, axis=-1), 1e-6)
+        d_l = dvec / dist[..., None]
+        wo_light_l = to_local(n_sh, t, bt, d_l)
+        f_l = _shade_eval(matballs, mat_id, uv, wi_l, wo_light_l)
+        sh_o = p_hit + n_sh * jnp.where(
+            wo_light_l[..., 2] >= 0, RAY_EPS, -RAY_EPS
+        )[..., None]
+        cand = alive & ((wo_light_l[..., 2] > 0) | trans_mask)
+        occ_l = occluded(bvh, sh_o, d_l, dist - 2 * RAY_EPS, active=cand)
+        lvis = cand & ~occ_l
+        contrib_l = beta * f_l * (inten[None, :] / (dist * dist)[..., None])
+        L = L + jnp.where(lvis[..., None], contrib_l, 0.0)
+
     # ---- BSDF sampling
-    wo_l, pdf_b = _shade_sample(matball, k_bsdf, mat_id, wi_l)
-    f_b = _shade_eval(matball, mat_id, uv, wi_l, wo_l)
-    is_ball = mat_id == MAT_BALL
-    wo_up_ok = (wo_l[..., 2] > 0) | (matball.transmissive & is_ball)
+    wo_l, pdf_b = _shade_sample(matballs, k_bsdf, mat_id, wi_l)
+    f_b = _shade_eval(matballs, mat_id, uv, wi_l, wo_l)
+    is_ball = mat_id >= MAT_BALL
+    wo_up_ok = (wo_l[..., 2] > 0) | trans_mask
     ok = alive & (pdf_b > 1e-9) & wo_up_ok
     w_rgb = f_b / jnp.maximum(pdf_b, 1e-9)[..., None]
-    w_rgb = jnp.where(is_ball[..., None], matball.weight_filter(w_rgb), w_rgb)
+    w_rgb = jnp.where(is_ball[..., None], _ball_filter(matballs, mat_id, w_rgb),
+                      w_rgb)
     beta = jnp.where(ok[..., None], beta * w_rgb, beta)
     alive = alive & ok & (jnp.max(w_rgb, axis=-1) > 0)
 
@@ -228,7 +286,7 @@ def render_pass(
     cam_vectors: jnp.ndarray,
     key: jax.Array,
     *,
-    matball: MatballFns,
+    matball,
     width: int,
     height: int,
     spp_chunk: int = 4,
@@ -236,10 +294,14 @@ def render_pass(
     mesh=None,
     row0: int = 0,
     rows: int | None = None,
+    lights: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One accumulation pass (`mi.render(scene, spp=4, seed=i)` equivalent,
     `brdf_measured_disk.py:151-155`): ray gen + max_depth bounce programs
     + film segment-sum. Returns (film_sum, sample_count).
+
+    `matball` is one MatballFns or a tuple of them (ball slot i shades
+    material id MAT_BALL + i — the array scenes carry 12).
 
     With a `mesh`, the ray wavefront is sharded over its "data" axis —
     scene arrays replicate (the matpreview scene is MBs), every bounce's
@@ -247,6 +309,9 @@ def render_pass(
     crosses chips (the SURVEY §2.3 ray-sharding design). The wavefront
     size W*rows*spp_chunk must divide by the mesh size.
     """
+    matball = _as_tuple(matball)
+    if lights is None:
+        lights = jnp.zeros((0, 6), jnp.float32)
     state, k_path = _init_wavefront(cam_vectors, key, row0, width=width,
                                     height=height, spp_chunk=spp_chunk,
                                     rows=height - row0 if rows is None else rows)
@@ -257,14 +322,15 @@ def render_pass(
         state = tuple(jax.device_put(x, shard) for x in state)
 
     for depth in range(max_depth):
-        state = _bounce_program(bvh, env, state, k_path, depth, matball=matball)
+        state = _bounce_program(bvh, env, lights, state, k_path, depth,
+                                matball=matball)
     px, L = state[2], state[3]
     return _finish_pass(px, L, width=width, height=height)
 
 
 def render(
     scene: Scene,
-    matball: MatballFns,
+    matball,
     seed: int = 0,
     spp: int = 512,
     spp_chunk: int = 4,
@@ -326,7 +392,7 @@ def render(
                 scene.bvh, scene.envmap, cam_vecs, keys[ki],
                 matball=matball, width=w, height=h,
                 spp_chunk=spp_chunk, max_depth=max_depth, mesh=mesh,
-                row0=row0, rows=rows,
+                row0=row0, rows=rows, lights=scene.lights,
             )
             ki += 1
             if img_sum is None:

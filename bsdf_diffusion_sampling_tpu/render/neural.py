@@ -30,8 +30,14 @@ from bsdf_diffusion_sampling_tpu.geometry.coords import (
     disk_to_cart,
     spher_to_cart,
 )
+from bsdf_diffusion_sampling_tpu.models.base_density import get_base
 from bsdf_diffusion_sampling_tpu.models.velocity import encode_condition
 from bsdf_diffusion_sampling_tpu.ode import ode_pdf, ode_sample
+from bsdf_diffusion_sampling_tpu.ops.fused_ode import (
+    fused_ode_transport,
+    fused_pdf_disk,
+    fused_sample_pdf_disk,
+)
 
 
 class NeuralBSDF(NamedTuple):
@@ -44,6 +50,8 @@ class NeuralBSDF(NamedTuple):
     firefly_clamp: float
     disk_valid_r2: float = 0.995
     pole_sin_eps: float = 5e-5
+    fused: bool = False  # run sample/pdf through the Pallas fused kernels
+    tile: int = 256  # Pallas batch tile (sublane rows per grid step)
 
 
 def make_neural_bsdf(
@@ -53,13 +61,21 @@ def make_neural_bsdf(
     base_params,
     brdf: MeasuredBRDF,
     sampler_cfg: SamplerConfig = SamplerConfig(),
+    fused: bool | None = None,
+    tile: int = 256,
 ) -> NeuralBSDF:
+    """`fused=None` auto-selects the Pallas fused sample/pdf kernels on TPU
+    and the XLA `lax.scan` path elsewhere (the parity oracle). The fused
+    path is the production render configuration — the tcnn analogue the
+    reference deploys for its 5-10x (`tiny-cuda-nn/README.md:5`)."""
     T = sampler_cfg.T_disk if domain == "disk" else sampler_cfg.T_spherical
     clamp = (
         sampler_cfg.firefly_clamp_sphere  # `bsdf_myresult.py:102`
         if domain == "sphere_full"
         else sampler_cfg.firefly_clamp_disk  # `brdf_measured_disk.py:98`
     )
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
     return NeuralBSDF(
         domain=domain,
         cfg=cfg,
@@ -70,6 +86,8 @@ def make_neural_bsdf(
         firefly_clamp=clamp,
         disk_valid_r2=sampler_cfg.disk_valid_r2,
         pole_sin_eps=sampler_cfg.pole_sin_eps,
+        fused=fused,
+        tile=tile,
     )
 
 
@@ -79,14 +97,51 @@ def _wi_coords(nb: NeuralBSDF, wi_local: jnp.ndarray) -> jnp.ndarray:
     return cart_to_spher(wi_local)
 
 
+def _sample_x_pdf(nb: NeuralBSDF, key, omega_i, cond):
+    """Domain-coordinate draw + pdf, via Pallas fused kernels (production)
+    or the XLA scan path (oracle). Both consume the key identically (the
+    disk base draw is loc + eps*exp(ls) with eps = normal(key)), so fused
+    and XLA agree to kernel rounding."""
+    if not nb.fused:
+        return ode_sample(nb.domain, nb.v_params, nb.base_params, omega_i,
+                          cond, key, nb.T)
+    if nb.domain == "disk":
+        eps = jax.random.normal(key, omega_i.shape[:-1] + (2,))
+        x, pdf, _ = fused_sample_pdf_disk(
+            nb.v_params, nb.base_params, cond, 0, nb.T, tile=nb.tile, eps=eps
+        )
+        return x, pdf
+    base = get_base(nb.domain)
+    x0 = base.sample(nb.base_params, omega_i, key)
+    p0 = jnp.exp(base.log_prob(nb.base_params, x0, omega_i))
+    x, det = fused_ode_transport("spherical", nb.v_params, x0, cond, nb.T,
+                                 tile=nb.tile)
+    return x, p0 / det
+
+
+def _pdf_query(nb: NeuralBSDF, x, omega_i, cond):
+    """Reverse-ODE pdf in domain coordinates, fused or XLA."""
+    if not nb.fused:
+        return ode_pdf(nb.domain, nb.v_params, nb.base_params, x, omega_i,
+                       cond, nb.T)
+    if nb.domain == "disk":
+        pdf, _ = fused_pdf_disk(nb.v_params, nb.base_params, x, cond, nb.T,
+                                tile=nb.tile)
+        return pdf
+    base = get_base(nb.domain)
+    x0, det = fused_ode_transport("spherical", nb.v_params, x, cond, nb.T,
+                                  reverse=True, tile=nb.tile)
+    p0 = jnp.exp(base.log_prob(nb.base_params, x0, omega_i))
+    return p0 * det
+
+
 def neural_sample(
     nb: NeuralBSDF, key: jax.Array, wi_local: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(wo_local, pdf_solid_angle). Invalid draws carry pdf 0."""
     omega_i = _wi_coords(nb, wi_local)
     cond = encode_condition(omega_i, nb.cfg)
-    x, pdf = ode_sample(nb.domain, nb.v_params, nb.base_params, omega_i, cond,
-                        key, nb.T)
+    x, pdf = _sample_x_pdf(nb, key, omega_i, cond)
     if nb.domain == "disk":
         r2 = jnp.sum(x**2, axis=-1)
         valid = r2 <= nb.disk_valid_r2  # `brdf_measured_disk.py:69-71`
@@ -117,7 +172,7 @@ def neural_pdf(nb: NeuralBSDF, wi_local: jnp.ndarray, wo_local: jnp.ndarray) -> 
         x = cart_to_spher(wo_local)
         sin_t = jnp.sin(x[..., 0])
         jac = jnp.clip(1.0 / jnp.maximum(sin_t, nb.pole_sin_eps), 0.0, 1e6)
-    pdf = ode_pdf(nb.domain, nb.v_params, nb.base_params, x, omega_i, cond, nb.T)
+    pdf = _pdf_query(nb, x, omega_i, cond)
     valid = wi_local[..., 2] > 0
     if nb.domain != "sphere_full":
         valid &= wo_local[..., 2] > 0

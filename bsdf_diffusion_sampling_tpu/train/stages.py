@@ -41,6 +41,7 @@ from bsdf_diffusion_sampling_tpu.geometry.sampling import (
 from bsdf_diffusion_sampling_tpu.models.base_density import get_base
 from bsdf_diffusion_sampling_tpu.models.velocity import encode_condition, velocity_init
 from bsdf_diffusion_sampling_tpu.ode.flow import ode_sample_only
+from bsdf_diffusion_sampling_tpu.ops.fused_ode import fused_ode_transport
 from bsdf_diffusion_sampling_tpu.parallel.mesh import (
     make_mesh,
     replicate,
@@ -121,15 +122,25 @@ def make_diffusion_step(domain: str, cfg: ModelConfig, tx: optax.GradientTransfo
 # -------------------------------------------------------------- rectify ----
 
 
-def make_rectify_pairgen(domain: str, cfg: ModelConfig, T: int):
+def make_rectify_pairgen(domain: str, cfg: ModelConfig, T: int,
+                         use_fused: bool | None = None):
     """(teacher_params, base_params, key, n_wi, n_per_wi) ->
     (x0, x1, omega_i): straightened transport pairs, shuffled.
 
     Mirrors `dosampling` + shuffle (`disk_domain_sampling.py:91-117`): draw
     stratified omega_i, repeat each n_per_wi times, push base samples
-    through the teacher's T-step ODE.
+    through the teacher's T-step ODE. With `use_fused` (default on TPU) the
+    T=128/256-step transport runs in the Pallas fused kernel — weights and
+    state resident in VMEM for all T steps — which is exactly where the
+    reference swaps in tiny-cuda-nn for its "5x-10x"
+    (`disk_domain_sampling.py:91-110`, `tiny-cuda-nn/README.md:5`).
     """
     base = get_base(domain)
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
+    # fused kernel encodes the spherical state in-kernel; both trained
+    # domains map onto its two layouts
+    fused_domain = "disk" if domain == "disk" else "spherical"
 
     @partial(jax.jit, static_argnames=("n_wi", "n_per_wi"))
     def pairgen(teacher_params, base_params, key, n_wi: int, n_per_wi: int):
@@ -142,7 +153,11 @@ def make_rectify_pairgen(domain: str, cfg: ModelConfig, T: int):
         omega_i = jnp.repeat(wi, n_per_wi, axis=0)
         x0 = base.sample(base_params, omega_i, k_x0)
         cond = encode_condition(omega_i, cfg)
-        x1 = ode_sample_only(domain, teacher_params, x0, cond, T)
+        if use_fused:
+            x1, _ = fused_ode_transport(fused_domain, teacher_params, x0,
+                                        cond, T, with_jac=False)
+        else:
+            x1 = ode_sample_only(domain, teacher_params, x0, cond, T)
         perm = jax.random.permutation(k_perm, omega_i.shape[0])
         return x0[perm], x1[perm], omega_i[perm]
 

@@ -70,6 +70,31 @@ def test_fused_base_transform_moments(key):
     np.testing.assert_allclose(z, np.asarray(eps), rtol=2e-4, atol=1e-5)
 
 
+def test_fused_pdf_query_matches_xla(key):
+    """fused_pdf_disk (reverse ODE + in-kernel base log-prob) must match
+    ode_pdf, the XLA oracle, and recover the same x0."""
+    from bsdf_diffusion_sampling_tpu.ode import ode_pdf
+
+    cfg, v_params, base, b_params, omega_i, cond = _setup(key)
+    T = 4
+    x = jax.random.uniform(jax.random.fold_in(key, 5), (cond.shape[0], 2),
+                           minval=-0.7, maxval=0.7)
+    pdf, x0 = fused.fused_pdf_disk(v_params, b_params, x, cond, T, tile=8)
+    pdf_ref = ode_pdf("disk", v_params, b_params, x, omega_i, cond, T)
+    np.testing.assert_allclose(np.asarray(pdf), np.asarray(pdf_ref),
+                               rtol=5e-5, atol=1e-8)
+
+    # sample -> pdf round trip: querying the fused pdf at a fused sample
+    # must recover the sampling-side pdf (the invertibility contract,
+    # `mlp_brdf_sampling.py:47` vs `:99`)
+    eps = jax.random.normal(jax.random.fold_in(key, 9), (cond.shape[0], 2))
+    xs, pdf_s, x0_s = fused.fused_sample_pdf_disk(v_params, b_params, cond,
+                                                  1, T, tile=8, eps=eps)
+    pdf_q, x0_q = fused.fused_pdf_disk(v_params, b_params, xs, cond, T, tile=8)
+    np.testing.assert_allclose(np.asarray(pdf_q), np.asarray(pdf_s), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(x0_q), np.asarray(x0_s), atol=2e-3)
+
+
 def test_make_fused_closure_matches_single_call(key):
     """The prepacked closure must produce bit-identical results to the
     one-shot fused_sample_pdf_disk for the same eps."""
