@@ -13,14 +13,33 @@ Timing discipline for the tunneled dev backend:
 - no eager jnp ops inside the measured loop (each eager dispatch costs
   ~30 ms vs ~0.05 ms for a jitted call);
 - every iteration's output feeds the next iteration's input (the runtime
-  elides work whose outputs are dropped, so an unchained loop measures
-  dispatch, not execution — unchained "timings" here come out 100x above
-  the hardware roofline).
+  elides work whose outputs are dropped);
+- the final sync is a HOST TRANSFER of a chained scalar, not
+  block_until_ready: on the tunneled axon backend block_until_ready
+  returns at enqueue time (measured round 2: it reported 7.8 GEval/s,
+  ~15x above the chip's bf16 roofline — physically impossible; with a
+  host transfer the same loop reads ~120 Meval/s, consistent with
+  round 1's 105 when block_until_ready still blocked).
 
-The reference publishes no absolute numbers (BASELINE.md), so vs_baseline
-is reported against a fixed nominal target of 100 Meval/s/chip — a
-roofline-scale figure for the 3x32 MLP at T=4 given the lane-packed MXU
-design (see ops/fused_ode.py docstring).
+vs_baseline semantics (round 2, per VERDICT item 7): the reference
+publishes no absolute numbers (BASELINE.md), so the baseline is the
+DERIVED speed-of-light for this kernel on this chip — the packed-MXU
+roofline: peak bf16 MACs / hardware FLOPs per eval. For the disk config
+(3x32 net, T=4, pack=4 lane packing, 3 concurrent streams
+primal+2 tangents, plus the fused base-density heads):
+
+  hw_flops/eval = (3 streams * T * L layers + 2 base) * 2*128*128 / pack
+                = (3*4*4 + 2) * 32768 / 4 = 409,600 FLOP
+  roofline      = peak_bf16 / hw_flops_per_eval
+
+v5e lite peak bf16 ~= 197 TFLOP/s => ~481 Meval/s. vs_baseline is the
+fraction of that speed-of-light actually achieved (1.0 = MXU-bound at
+100% utilization; the lane-packing's 4x block-diagonal redundancy is
+already charged to the kernel, not excused by the target).
+
+Before timing, the script asserts on-chip fused-vs-XLA parity (VERDICT
+round-1 item 9: catches Mosaic-vs-interpret divergence that CPU
+interpret-mode tests cannot).
 """
 
 from __future__ import annotations
@@ -32,8 +51,37 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NOMINAL_MEVALS = 100.0
+# peak bf16 TFLOP/s by TPU generation (public figures); conservative
+# fallback keeps vs_baseline meaningful on unknown chips
+_PEAK_BF16_TFLOPS = {
+    "v4": 275.0,
+    "v5 lite": 197.0,
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v6 lite": 918.0,
+    "v6e": 918.0,
+}
+
+
+def _chip_peak_tflops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in _PEAK_BF16_TFLOPS.items():
+        if k in kind:
+            return v
+    return 197.0
+
+
+def _roofline_mevals(T: int, n_layers: int, pack: int) -> float:
+    """Speed-of-light Meval/s for the fused sample+pdf kernel."""
+    hw_flops_per_eval = (3 * T * n_layers + 2) * 2 * 128 * 128 / pack
+    return _chip_peak_tflops() * 1e12 / hw_flops_per_eval / 1e6
+
+
+def _sync(x) -> float:
+    """Force device completion via a host transfer (see module docstring)."""
+    return float(np.asarray(jax.device_get(x)))
 
 
 def main() -> None:
@@ -41,7 +89,10 @@ def main() -> None:
     from bsdf_diffusion_sampling_tpu.models import get_base, velocity_init
     from bsdf_diffusion_sampling_tpu.models.velocity import encode_condition
     from bsdf_diffusion_sampling_tpu.ode import ode_sample
-    from bsdf_diffusion_sampling_tpu.ops.fused_ode import make_fused_sample_pdf_disk
+    from bsdf_diffusion_sampling_tpu.ops.fused_ode import (
+        fused_sample_pdf_disk,
+        make_fused_sample_pdf_disk,
+    )
 
     cfg = ModelConfig(domain="disk")
     key = jax.random.key(0)
@@ -57,6 +108,31 @@ def main() -> None:
     cond = encode_condition(omega_i, cfg)
     use_xla = bool(int(os.environ.get("BENCH_XLA", "0")))
 
+    # ---- on-chip parity: fused Pallas vs XLA scan. Both consume the key
+    # identically (disk base draw is loc + normal(key)*scale), so the same
+    # key yields the same base sample on both paths.
+    n_par = 8192
+    k_par = jax.random.key(1)
+    eps = jax.random.normal(k_par, (n_par, 2))
+    x_f, pdf_f, _ = fused_sample_pdf_disk(
+        v_params, b_params, cond[:n_par], 0, T, tile=256, eps=eps
+    )
+    x_r, pdf_r = ode_sample(
+        "disk", v_params, b_params, omega_i[:n_par], cond[:n_par], k_par, T,
+    )
+    # Both paths run single-pass bf16 MXU matmuls but with different
+    # accumulation orders (packed 128-lane vs XLA's layout), so they agree
+    # only to ~1 bf16 ulp per step (2^-8 ~= 4e-3 on O(1) values). The gate
+    # catches real Mosaic divergence (O(1) errors), not rounding.
+    np.testing.assert_allclose(
+        np.asarray(x_f), np.asarray(x_r), rtol=0.05, atol=0.02,
+        err_msg="fused kernel diverges from XLA oracle ON CHIP (samples)")
+    pdf_f, pdf_r = np.asarray(pdf_f), np.asarray(pdf_r)
+    rel = np.abs(pdf_f - pdf_r) / np.maximum(np.abs(pdf_r), 1e-3)
+    assert np.median(rel) < 0.02 and np.quantile(rel, 0.99) < 0.25, (
+        f"fused pdf diverges from XLA oracle ON CHIP: median rel "
+        f"{np.median(rel):.4f}, p99 {np.quantile(rel, 0.99):.4f}")
+
     if use_xla:
         # one jitted scan: fold_in + sampler + a scalar carry that chains
         # every iteration into the next
@@ -71,14 +147,12 @@ def main() -> None:
             acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(m))
             return acc
 
-        run_scan(k4, 2).block_until_ready()  # compile small
-        run_scan(k4, iters).block_until_ready()  # compile large
+        _sync(run_scan(k4, 2))  # compile small
+        _sync(run_scan(k4, iters))  # compile large
         t0 = time.perf_counter()
-        acc = run_scan(k4, iters)
-        acc.block_until_ready()
+        _sync(run_scan(k4, iters))
         t1 = time.perf_counter()
-        acc2 = run_scan(k4, 2)
-        acc2.block_until_ready()
+        _sync(run_scan(k4, 2))
         dt = (t1 - t0) - (time.perf_counter() - t1)  # subtract fixed overhead
         n_evals = n * (iters - 2)
     else:
@@ -89,28 +163,30 @@ def main() -> None:
         def next_seed(pdf, i):
             return (i + (pdf[0] > -1.0).astype(jnp.int32)).reshape(1, 1)
 
+        reduce_ = jax.jit(lambda pdf, s: jnp.sum(pdf) + jnp.float32(s[0, 0]))
+
         seed = jnp.zeros((1, 1), jnp.int32)
-        steps = jnp.arange(iters + 1, dtype=jnp.int32)
-        steps = [steps[i] for i in range(iters + 1)]
+        steps = [jnp.asarray(i, jnp.int32) for i in range(iters + 1)]
         jax.block_until_ready(steps)
         x, pdf, _ = fused(seed)
         seed = next_seed(pdf, steps[0])
-        jax.block_until_ready(seed)
+        _sync(reduce_(pdf, seed))  # compile + warm everything
 
         t0 = time.perf_counter()
         for i in range(iters):
             x, pdf, _ = fused(seed)
             seed = next_seed(pdf, steps[i + 1])
-        jax.block_until_ready((x, pdf, seed))
+        _sync(reduce_(pdf, seed))  # host transfer = true completion
         dt = time.perf_counter() - t0
         n_evals = n * iters
 
     mevals = n_evals / dt / 1e6
+    roofline = _roofline_mevals(T, n_layers=len(v_params), pack=4)
     print(json.dumps({
         "metric": "bsdf_sample_pdf_throughput" + ("_xla" if use_xla else ""),
         "value": round(mevals, 2),
         "unit": "Meval/s/chip",
-        "vs_baseline": round(mevals / NOMINAL_MEVALS, 3),
+        "vs_baseline": round(mevals / roofline, 3),
     }))
 
 
