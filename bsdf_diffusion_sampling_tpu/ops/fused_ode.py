@@ -19,10 +19,12 @@ of template code. The MXU then runs dense 128x128 passes with 4x (width
 32) or 2x (width 64) the useful throughput.
 
 Jacobian: per step we need dv/dx, a 2-column Jacobian. Both tangent
-streams ride the same matmuls as the primal by concatenating
-[primal; tangent0; tangent1] along the sublane (batch) axis: one
-(3*TILE, 128) @ (128, 128) per layer. Hidden-layer tangents multiply by
-silu'(z_primal) elementwise. For the spherical domain the state->input
+streams ride the same weights as the primal as a batched (2, TILE, 128)
+dot_general next to the primal's (TILE, 128) @ (128, 128); hidden-layer
+tangents multiply by silu'(z_primal) via a leading-axis broadcast. (An
+earlier revision concatenated [primal; t0; t1] on the sublane axis; the
+per-layer concatenation copies made the kernel VPU-bound — same MXU
+FLOPs, ~25% slower end-to-end.) For the spherical domain the state->input
 encoding (theta, phi) -> (theta, sin phi, cos phi)
 (`mlp_brdf_sampling.py:119-120`) is differentiated in-kernel: tangent
 seeds are d(enc)/d(theta) = (1,0,0) and d(enc)/d(phi) = (0, cos, -sin).
@@ -95,19 +97,26 @@ def _mxu_precision(mxu) -> jax.lax.Precision:
     )
 
 
-def _mlp_with_tangents(big, w_ref, n_layers: int, tile: int, mxu=jnp.float32):
-    """[primal; t0; t1] (3*tile, 128) through the packed MLP. `mxu` selects
-    the MXU pass count (fp32 accumulate either way; see _mxu_precision)."""
+def _mlp_with_tangents(inp, tang, w_ref, n_layers: int, mxu=jnp.float32):
+    """Primal (tile, 128) + two forward-mode tangent streams (2, tile, 128)
+    through the packed MLP. The tangents ride a batched dot against the
+    same weights; the hidden-layer silu' multiply broadcasts over the
+    leading axis (no sublane concatenation/copies — the VPU work per step
+    is real math only). `mxu` selects the MXU pass count (fp32 accumulate
+    either way; see _mxu_precision). Returns (v, j0, j1)."""
     prec = _mxu_precision(mxu)
+    dn = (((2,), (0,)), ((), ()))  # contract feature dim, no batch dims
     for l in range(n_layers):
         w = w_ref[l]
-        z = jnp.dot(big, w, preferred_element_type=jnp.float32, precision=prec)
+        z = jnp.dot(inp, w, preferred_element_type=jnp.float32, precision=prec)
+        tz = jax.lax.dot_general(tang, w, dn, preferred_element_type=jnp.float32,
+                                 precision=prec)
         if l + 1 < n_layers:
-            a, sp = _silu_and_grad(z[:tile])
-            big = jnp.concatenate([a, z[tile:] * jnp.concatenate([sp, sp], 0)], 0)
+            a, sp = _silu_and_grad(z)
+            inp, tang = a, tz * sp[None]
         else:
-            big = z
-    return big[:tile], big[tile : 2 * tile], big[2 * tile :]
+            inp, tang = z, tz
+    return inp, tang[0], tang[1]
 
 
 def _mlp_primal(x, w_ref, n_layers: int, mxu=jnp.float32):
@@ -162,44 +171,45 @@ def _fused_ode_kernel(
             alpha_col = jnp.where(col == 3, alpha, 0.0)
         return x_part + alpha_col + cond
 
+    t0_const = jnp.where(is0, 1.0, 0.0).astype(f32)
+    t1_disk = jnp.where(is1, 1.0, 0.0).astype(f32)
+
     def tangent_seeds(s):
+        """d(input_enc)/d(state) seed pair. Disk: identity (constant).
+        Spherical: d(sin phi)/d(phi) = cos, d(cos phi)/d(phi) = -sin."""
         if domain == "disk":
-            t0 = jnp.where(is0, 1.0, 0.0).astype(f32)
-            t1 = jnp.where(is1, 1.0, 0.0).astype(f32)
-        else:
-            t0 = jnp.where(is0, 1.0, 0.0).astype(f32)
-            cos_p = jnp.where(is1, jnp.cos(s), 0.0)
-            sin_p = jnp.where(is1, -jnp.sin(s), 0.0)
-            t1 = cos_p + pltpu.roll(sin_p, shift=1, axis=1)
-        return t0, t1
+            return jnp.stack([t0_const, t1_disk])
+        cos_p = jnp.where(is1, jnp.cos(s), 0.0)
+        sin_p = jnp.where(is1, -jnp.sin(s), 0.0)
+        return jnp.stack([t0_const, cos_p + pltpu.roll(sin_p, shift=1, axis=1)])
 
     def body(t, carry):
         s, det = carry
-        tt = t.astype(f32)
+        tt = t.astype(f32) if hasattr(t, "astype") else float(t)
         alpha = (1.0 - tt * h) if reverse else (tt * h)
         inp = encode(s, alpha)
         if with_jac:
-            t0, t1 = tangent_seeds(s)
-            big = jnp.concatenate([inp, t0, t1], axis=0)
-            v, j0, j1 = _mlp_with_tangents(big, w_ref, n_layers, tile, mxu)
-            # per-sample 2x2 det from blockcols 0/1 of the tangent outputs
-            a = 1.0 + sign * h * jnp.where(is0, j0, 0.0)  # d v0/d x0
-            b = sign * h * jnp.where(is0, j1, 0.0)        # d v0/d x1
-            c = sign * h * jnp.where(is1, j0, 0.0)        # d v1/d x0
-            d = 1.0 + sign * h * jnp.where(is1, j1, 0.0)  # d v1/d x1
-            # align: move the blockcol-1 lanes of c, d onto blockcol 0
-            # (pltpu.roll requires shift >= 0; LANES-1 == circular -1)
-            c = pltpu.roll(c, shift=LANES - 1, axis=1)
-            d = pltpu.roll(d, shift=LANES - 1, axis=1)
-            step_det = jnp.where(is0, a * d - b * c, 1.0)
-            det = det * jnp.where(is0, step_det, 1.0)
+            v, j0, j1 = _mlp_with_tangents(inp, tangent_seeds(s), w_ref,
+                                           n_layers, mxu)
+            # unmasked 2x2 det (correct at col0, garbage elsewhere — the
+            # final write masks is0; see _disk_ode_loop)
+            a = 1.0 + sign * h * j0
+            b = sign * h * j1
+            c = pltpu.roll(sign * h * j0, shift=LANES - 1, axis=1)
+            d = pltpu.roll(1.0 + sign * h * j1, shift=LANES - 1, axis=1)
+            det = det * (a * d - b * c)
         else:
             v = _mlp_primal(inp, w_ref, n_layers, mxu)
         s = s + sign * h * jnp.where(col < 2, v, 0.0)
         return s, det
 
     det0 = jnp.ones((tile, LANES), f32)
-    s_fin, det_fin = jax.lax.fori_loop(0, T, body, (s0, det0))
+    if T <= _UNROLL_T:
+        s_fin, det_fin = s0, det0
+        for t in range(T):
+            s_fin, det_fin = body(t, (s_fin, det_fin))
+    else:
+        s_fin, det_fin = jax.lax.fori_loop(0, T, body, (s0, det0))
     # det product is stored on blockcol 2 (x uses 0:2)
     out = jnp.where(col < 2, s_fin, 0.0)
     if with_jac:
@@ -329,34 +339,52 @@ def _base_heads(cond, bw_ref, col):
     return loc, ls
 
 
+_UNROLL_T = 16  # unroll short ODE loops (T<=16); scan long transports
+
+
 def _disk_ode_loop(x_init, cond, w_ref, *, T, n_layers, tile, col, reverse, mxu):
     """T-step disk-domain Euler transport with per-step 2x2 dets, shared by
     the sample+pdf and pdf-query kernels. Returns (x_fin, det_fin) with x on
-    blockcols 0:2 and the det product on blockcol 0."""
+    blockcols 0:2 and the det product on blockcol 0 (other lanes of det_fin
+    carry garbage — the per-step det algebra runs unmasked on all lanes and
+    callers mask is0 once; garbage lanes never mix into read lanes because
+    lane alignment uses rolls, not reductions).
+
+    VPU-economy notes (this loop is VPU-bound, not MXU-bound): the tangent
+    seeds are constants (d(state)/d(state) = I) hoisted out of the loop;
+    the alpha lane rides a precomputed is2 mask; short loops unroll so
+    Mosaic can software-pipeline VPU work against the next step's matmuls.
+    """
     f32 = jnp.float32
     h = 1.0 / T
     sign = -1.0 if reverse else 1.0
-    is0, is1, is2 = (col == 0), (col == 1), (col == 2)
+    is0, is1 = (col == 0), (col == 1)
+    x_mask = col < 2
+    is2f = jnp.where(col == 2, 1.0, 0.0).astype(f32)
+    tang0 = jnp.stack([jnp.where(is0, 1.0, 0.0).astype(f32),
+                       jnp.where(is1, 1.0, 0.0).astype(f32)])
 
     def body(t, carry):
         s, det = carry
-        tt = t.astype(f32)
+        tt = t.astype(f32) if hasattr(t, "astype") else float(t)
         alpha = (1.0 - tt * h) if reverse else (tt * h)
-        inp = jnp.where(col < 2, s, 0.0) + jnp.where(is2, alpha, 0.0) + cond
-        t0 = jnp.where(is0, 1.0, 0.0).astype(f32)
-        t1 = jnp.where(is1, 1.0, 0.0).astype(f32)
-        big = jnp.concatenate([inp, t0, t1], axis=0)
-        v, j0, j1 = _mlp_with_tangents(big, w_ref, n_layers, tile, mxu)
-        a_ = 1.0 + sign * h * jnp.where(is0, j0, 0.0)
-        b_ = sign * h * jnp.where(is0, j1, 0.0)
-        c_ = pltpu.roll(sign * h * jnp.where(is1, j0, 0.0),
-                        shift=LANES - 1, axis=1)
-        d_ = pltpu.roll(1.0 + sign * h * jnp.where(is1, j1, 0.0),
-                        shift=LANES - 1, axis=1)
-        det = det * jnp.where(is0, a_ * d_ - b_ * c_, 1.0)
-        return s + sign * h * jnp.where(col < 2, v, 0.0), det
+        inp = jnp.where(x_mask, s, 0.0) + alpha * is2f + cond
+        v, j0, j1 = _mlp_with_tangents(inp, tang0, w_ref, n_layers, mxu)
+        # 2x2 det on every lane; correct at col0, garbage elsewhere:
+        # det = (1 + h*j00)(1 + h*j11) - (h*j01)(h*j10)
+        a_ = 1.0 + sign * h * j0  # col0: 1 + h dv0/dx0
+        b_ = sign * h * j1        # col0: h dv0/dx1
+        c_ = pltpu.roll(sign * h * j0, shift=LANES - 1, axis=1)  # h dv1/dx0
+        d_ = pltpu.roll(1.0 + sign * h * j1, shift=LANES - 1, axis=1)
+        det = det * (a_ * d_ - b_ * c_)
+        return s + sign * h * jnp.where(x_mask, v, 0.0), det
 
     det0 = jnp.ones((tile, LANES), f32)
+    if T <= _UNROLL_T:
+        carry = (x_init, det0)
+        for t in range(T):
+            carry = body(t, carry)
+        return carry
     return jax.lax.fori_loop(0, T, body, (x_init, det0))
 
 
@@ -549,28 +577,44 @@ def make_fused_sample_pdf_disk(
     )
     jax.block_until_ready((c_packed, bw_packed, w_packed, eps_packed))
 
-    # Two-stage unpack: one wide reshape+slice to (N, 8), then narrow
-    # splits on the small buffer. Emitting the three narrow outputs
-    # directly from the (N/pack, 128) kernel buffer costs ~6.5 ms on v5e
-    # (sub-tile minor dims force padded scatter-writes of the full-size
-    # buffer); via the (N, 8) intermediate the whole unpack is ~1.9 ms.
-    @jax.jit
-    def _compact(out):
-        return out.reshape(-1, block)[:n, :8]
-
-    @jax.jit
-    def _split(m):
-        return m[:, 0:2], m[:, 2], m[:, 4:6]
+    # Single-dispatch run: pallas call + unpack in ONE jitted program (the
+    # tunneled backend costs ~0.55 ms per dispatch; three dispatches per
+    # call buried the kernel). The packed buffers are passed as ARGUMENTS
+    # to the module-level jitted impl — closing over them under jax.jit
+    # would bake 134 MB of program constants in and measurably slow the
+    # call. Unpack is two-stage: one wide reshape+slice to (N, 8), then
+    # narrow splits on the small buffer (emitting narrow outputs directly
+    # from the (N/pack, 128) kernel buffer costs ~6.5 ms on v5e — sub-tile
+    # minor dims force padded scatter-writes of the full-size buffer).
+    n_layers = len(v_params)
 
     def run(seed_arr: jnp.ndarray):
-        out = _fused_sample_pdf_call(
+        return _sample_pdf_run(
             seed_arr, c_packed, eps_packed, bw_packed, w_packed,
-            T=T, n_layers=len(v_params), block=block, tile=tile,
+            n=n, T=T, n_layers=n_layers, block=block, tile=tile,
             use_prng=use_prng, mxu_dtype=mxu_dtype,
         )
-        return _split(_compact(out))
 
     return run
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "T", "n_layers", "block", "tile", "use_prng",
+                     "mxu_dtype"),
+)
+def _sample_pdf_run(seed_arr, c_packed, eps_packed, bw_packed, w_packed, *,
+                    n, T, n_layers, block, tile, use_prng, mxu_dtype):
+    out = _fused_sample_pdf_call(
+        seed_arr, c_packed, eps_packed, bw_packed, w_packed,
+        T=T, n_layers=n_layers, block=block, tile=tile,
+        use_prng=use_prng, mxu_dtype=mxu_dtype,
+    )
+    # barrier: materialize the (N, 8) intermediate. Without it XLA fuses
+    # reshape+slice+splits into one strided gather fusion over the wide
+    # kernel buffer (~4.5 ms slower than the copy-then-split schedule).
+    m = jax.lax.optimization_barrier(out.reshape(-1, block)[:n, :8])
+    return m[:, 0:2], m[:, 2], m[:, 4:6]
 
 
 def _fused_pdf_kernel(
@@ -733,11 +777,10 @@ def make_fused_transport(
     mxu_dtype: str = "bfloat16",
 ):
     """Prepacked `fused_ode_transport` closure: weights + condition packed
-    once, per-call state packing jitted. Returns ``run(x) -> (x', det)``
-    with three jitted dispatches per call (pack, pallas, unpack) and zero
-    eager ops — use when the same wavefront's conditions are transported
-    repeatedly (rectify pair generation, spherical sample/pdf paths,
-    benchmarks)."""
+    once. Returns ``run(x) -> (x', det)`` whose body is one jitted dispatch
+    (state pack + pallas + unpack in a single program) and zero eager ops —
+    use when the same wavefront's conditions are transported repeatedly
+    (rectify pair generation, spherical sample/pdf paths, benchmarks)."""
     n = cond_enc.shape[0]
     block = _block_size(v_params)
     pack = LANES // block
@@ -748,28 +791,34 @@ def make_fused_transport(
     w_packed = pack_weights(v_params, block)
     jax.block_until_ready((c_packed, w_packed))
 
-    @jax.jit
-    def _pack_state(x):
-        return _pack_rows(x.astype(jnp.float32), 0, block, n_pad)
-
-    @jax.jit
-    def _compact(out):
-        return out.reshape(-1, block)[:n, :4]
-
-    @jax.jit
-    def _split(m):
-        return m[:, 0:2], m[:, 2]
+    n_layers = len(v_params)
 
     def run(x: jnp.ndarray):
-        out = _fused_call(
-            _pack_state(x), c_packed, w_packed,
-            domain=domain, T=T, n_layers=len(v_params), block=block,
-            reverse=reverse, with_jac=with_jac, tile=tile,
+        return _transport_run(
+            x, c_packed, w_packed,
+            n=n, n_pad=n_pad, domain=domain, T=T, n_layers=n_layers,
+            block=block, reverse=reverse, with_jac=with_jac, tile=tile,
             mxu_dtype=mxu_dtype,
         )
-        return _split(_compact(out))
 
     return run
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "n_pad", "domain", "T", "n_layers", "block",
+                     "reverse", "with_jac", "tile", "mxu_dtype"),
+)
+def _transport_run(x, c_packed, w_packed, *, n, n_pad, domain, T, n_layers,
+                   block, reverse, with_jac, tile, mxu_dtype):
+    out = _fused_call(
+        _pack_rows(x.astype(jnp.float32), 0, block, n_pad),
+        c_packed, w_packed,
+        domain=domain, T=T, n_layers=n_layers, block=block,
+        reverse=reverse, with_jac=with_jac, tile=tile, mxu_dtype=mxu_dtype,
+    )
+    m = jax.lax.optimization_barrier(out.reshape(-1, block)[:n, :4])
+    return m[:, 0:2], m[:, 2]
 
 
 def make_fused_sample_pdf_spherical(
