@@ -80,9 +80,19 @@ def pack_weights(v_params: List[dict], block: int) -> jnp.ndarray:
     return jnp.stack(mats)
 
 
+def _sigmoid(z):
+    """The native `logistic` lowering is the fastest fp32 sigmoid on TPU
+    (an explicit 1/(1+exp(-z)) formulation measured ~15% slower for the
+    whole kernel; logistic is also broken for bf16 operands in Mosaic —
+    vector.broadcast element-type mismatch — but the kernel is all-fp32,
+    see _hoist_weights)."""
+    return jax.nn.sigmoid(z)
+
+
 def _silu_and_grad(z):
-    s = jax.nn.sigmoid(z)
-    return z * s, s * (1.0 + z * (1.0 - s))
+    one = jnp.asarray(1.0, z.dtype)
+    s = _sigmoid(z)
+    return z * s, s * (one + z * (one - s))
 
 
 def _mxu_precision(mxu) -> jax.lax.Precision:
@@ -97,17 +107,38 @@ def _mxu_precision(mxu) -> jax.lax.Precision:
     )
 
 
-def _mlp_with_tangents(inp, tang, w_ref, n_layers: int, mxu=jnp.float32):
+def _hoist_weights(w_ref, n_layers: int, mxu):
+    """Read layer weights out of the VMEM ref ONCE, pre-cast to the MXU
+    input dtype. In the fast bf16 mode this removes the per-step fp32->bf16
+    operand converts Mosaic would otherwise insert in front of every matmul
+    of the unrolled T-loop (the kernel is VPU-bound; converts are VPU
+    work).
+
+    MEASURED (v5e, n=2^20, T=4, tile=1024): pre-casting weights to bf16
+    and running the hidden elementwise chain on bf16 vregs made the kernel
+    31% SLOWER (6.75 vs 5.12 ms) — v5e VPU elementwise bf16 is emulated
+    via converts, and DEFAULT-precision matmuls take fp32 operands with
+    free internal rounding. So this stays fp32; hoisting still saves the
+    per-step ref reads."""
+    del mxu
+    return [w_ref[l] for l in range(n_layers)]
+
+
+def _mlp_with_tangents(inp, tang, ws, mxu=jnp.float32):
     """Primal (tile, 128) + two forward-mode tangent streams (2, tile, 128)
-    through the packed MLP. The tangents ride a batched dot against the
-    same weights; the hidden-layer silu' multiply broadcasts over the
-    leading axis (no sublane concatenation/copies — the VPU work per step
-    is real math only). `mxu` selects the MXU pass count (fp32 accumulate
-    either way; see _mxu_precision). Returns (v, j0, j1)."""
+    through the packed MLP (ws = hoisted per-layer weights). The tangents
+    ride a batched dot against the same weights; the hidden-layer silu'
+    multiply broadcasts over the leading axis (no sublane concatenation/
+    copies — the VPU work per step is real math only).
+
+    Everything elementwise stays fp32 — see _hoist_weights for the
+    measured evidence that a bf16 elementwise chain is slower on v5e.
+    Dot outputs (v, j0, j1, and the det algebra downstream) accumulate in
+    fp32. Returns (v, j0, j1)."""
     prec = _mxu_precision(mxu)
     dn = (((2,), (0,)), ((), ()))  # contract feature dim, no batch dims
-    for l in range(n_layers):
-        w = w_ref[l]
+    n_layers = len(ws)
+    for l, w in enumerate(ws):
         z = jnp.dot(inp, w, preferred_element_type=jnp.float32, precision=prec)
         tz = jax.lax.dot_general(tang, w, dn, preferred_element_type=jnp.float32,
                                  precision=prec)
@@ -119,12 +150,12 @@ def _mlp_with_tangents(inp, tang, w_ref, n_layers: int, mxu=jnp.float32):
     return inp, tang[0], tang[1]
 
 
-def _mlp_primal(x, w_ref, n_layers: int, mxu=jnp.float32):
+def _mlp_primal(x, ws, mxu=jnp.float32):
     prec = _mxu_precision(mxu)
-    for l in range(n_layers):
-        z = jnp.dot(x, w_ref[l], preferred_element_type=jnp.float32,
-                    precision=prec)
-        x = z * jax.nn.sigmoid(z) if l + 1 < n_layers else z
+    n_layers = len(ws)
+    for l, w in enumerate(ws):
+        z = jnp.dot(x, w, preferred_element_type=jnp.float32, precision=prec)
+        x = z * _sigmoid(z) if l + 1 < n_layers else z
     return x
 
 
@@ -141,6 +172,7 @@ def _fused_ode_kernel(
     reverse: bool,
     with_jac: bool,
     mxu_dtype: str = "bfloat16",
+    compact: bool = False,
 ):
     mxu = jnp.dtype(mxu_dtype)
     tile = s_ref.shape[0]
@@ -183,14 +215,15 @@ def _fused_ode_kernel(
         sin_p = jnp.where(is1, -jnp.sin(s), 0.0)
         return jnp.stack([t0_const, cos_p + pltpu.roll(sin_p, shift=1, axis=1)])
 
+    ws = _hoist_weights(w_ref, n_layers, mxu)
+
     def body(t, carry):
         s, det = carry
         tt = t.astype(f32) if hasattr(t, "astype") else float(t)
         alpha = (1.0 - tt * h) if reverse else (tt * h)
         inp = encode(s, alpha)
         if with_jac:
-            v, j0, j1 = _mlp_with_tangents(inp, tangent_seeds(s), w_ref,
-                                           n_layers, mxu)
+            v, j0, j1 = _mlp_with_tangents(inp, tangent_seeds(s), ws, mxu)
             # unmasked 2x2 det (correct at col0, garbage elsewhere — the
             # final write masks is0; see _disk_ode_loop)
             a = 1.0 + sign * h * j0
@@ -199,7 +232,7 @@ def _fused_ode_kernel(
             d = pltpu.roll(1.0 + sign * h * j1, shift=LANES - 1, axis=1)
             det = det * (a * d - b * c)
         else:
-            v = _mlp_primal(inp, w_ref, n_layers, mxu)
+            v = _mlp_primal(inp, ws, mxu)
         s = s + sign * h * jnp.where(col < 2, v, 0.0)
         return s, det
 
@@ -214,7 +247,7 @@ def _fused_ode_kernel(
     out = jnp.where(col < 2, s_fin, 0.0)
     if with_jac:
         out = out + pltpu.roll(jnp.where(is0, det_fin, 0.0), shift=2, axis=1)
-    out_ref[:] = out
+    out_ref[:] = _compact_epilogue(out, block) if compact else out
 
 
 def _pack_rows(x: jnp.ndarray, offset: int, block: int, n_pad: int) -> jnp.ndarray:
@@ -236,11 +269,11 @@ def _unpack_rows(rows: jnp.ndarray, n: int, block: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("domain", "T", "n_layers", "block", "reverse", "with_jac",
-                     "tile", "mxu_dtype"),
+                     "tile", "mxu_dtype", "compact"),
 )
 def _fused_call(
     s_packed, c_packed, w_packed, *, domain, T, n_layers, block, reverse,
-    with_jac, tile, mxu_dtype="bfloat16"
+    with_jac, tile, mxu_dtype="bfloat16", compact=False
 ):
     n_rows = s_packed.shape[0]
     grid = (n_rows // tile,)
@@ -253,12 +286,16 @@ def _fused_call(
         reverse=reverse,
         with_jac=with_jac,
         mxu_dtype=mxu_dtype,
+        compact=compact,
     )
+    rpo = (LANES // (LANES // block * _OUT_VALS)) if compact else 1
     streams = 3 if with_jac else 1
     flops = grid[0] * T * n_layers * (streams * tile * LANES * LANES * 2)
+    out_spec = pl.BlockSpec((tile // rpo, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows // rpo, LANES), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -269,7 +306,7 @@ def _fused_call(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=3 * n_rows * LANES * 4,
@@ -341,6 +378,44 @@ def _base_heads(cond, bw_ref, col):
 
 _UNROLL_T = 16  # unroll short ODE loops (T<=16); scan long transports
 
+_OUT_VALS = 8  # useful values per sample in compacted kernel output
+
+
+def _compact_epilogue(out, block: int):
+    """Lane/row-compact the packed output tile so every lane is useful.
+
+    Input: (tile, 128) where each 32/64-lane block holds one sample and
+    only blockcols 0:8 carry data. Output: (tile // rows_per_out, 128)
+    rows of `128 // 8` samples x 8 values, in sample order — a contiguous
+    reshape to (n, 8) on the host side. This replaces the XLA
+    reshape+slice compact of round 2, which cost MORE than the whole
+    kernel (6.3 ms vs 5.0 ms at n=2^20 on v5e: the 8-of-32-lane strided
+    gather plus narrow-minor-dim writes defeat the vector units); doing
+    it with in-kernel rolls costs ~23 VPU ops per tile and shrinks the
+    HBM write 4x.
+    """
+    tile = out.shape[0]
+    pack = LANES // block
+    group = pack * _OUT_VALS          # useful lanes per row after step 1
+    rows_per_out = LANES // group
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    bcol = lane % block
+    blk = lane // block
+    # step 1: gather each block's cols 0:8 into lanes [8k : 8k+8)
+    y = jnp.where((blk == 0) & (bcol < _OUT_VALS), out, 0.0)
+    for k in range(1, pack):
+        piece = jnp.where((blk == k) & (bcol < _OUT_VALS), out, 0.0)
+        y = y + pltpu.roll(piece, shift=(LANES - k * (block - _OUT_VALS)) % LANES,
+                           axis=1)
+    # step 2: fold `rows_per_out` consecutive rows into one 128-lane row
+    z = jnp.where(lane < group, y, 0.0)
+    for j in range(1, rows_per_out):
+        up = pltpu.roll(y, shift=(tile - j) % tile, axis=0)
+        up = pltpu.roll(up, shift=group * j, axis=1)
+        z = z + jnp.where((lane >= group * j) & (lane < group * (j + 1)), up, 0.0)
+    # keep every rows_per_out-th row
+    return z.reshape(tile // rows_per_out, rows_per_out, LANES)[:, 0, :]
+
 
 def _disk_ode_loop(x_init, cond, w_ref, *, T, n_layers, tile, col, reverse, mxu):
     """T-step disk-domain Euler transport with per-step 2x2 dets, shared by
@@ -363,13 +438,16 @@ def _disk_ode_loop(x_init, cond, w_ref, *, T, n_layers, tile, col, reverse, mxu)
     is2f = jnp.where(col == 2, 1.0, 0.0).astype(f32)
     tang0 = jnp.stack([jnp.where(is0, 1.0, 0.0).astype(f32),
                        jnp.where(is1, 1.0, 0.0).astype(f32)])
+    ws = _hoist_weights(w_ref, n_layers, mxu)
 
     def body(t, carry):
         s, det = carry
         tt = t.astype(f32) if hasattr(t, "astype") else float(t)
         alpha = (1.0 - tt * h) if reverse else (tt * h)
-        inp = jnp.where(x_mask, s, 0.0) + alpha * is2f + cond
-        v, j0, j1 = _mlp_with_tangents(inp, tang0, w_ref, n_layers, mxu)
+        # s stays masked to blockcols 0:2 by construction (x0 is masked at
+        # the draw and every update re-masks v), so no where() here
+        inp = s + alpha * is2f + cond
+        v, j0, j1 = _mlp_with_tangents(inp, tang0, ws, mxu)
         # 2x2 det on every lane; correct at col0, garbage elsewhere:
         # det = (1 + h*j00)(1 + h*j11) - (h*j01)(h*j10)
         a_ = 1.0 + sign * h * j0  # col0: 1 + h dv0/dx0
@@ -397,6 +475,7 @@ def _fused_sample_pdf_kernel(
     block: int,
     use_prng: bool,
     mxu_dtype: str = "bfloat16",
+    compact: bool = False,
 ):
     mxu = jnp.dtype(mxu_dtype)
     if use_prng:
@@ -449,22 +528,24 @@ def _fused_sample_pdf_kernel(
     out = jnp.where(col < 2, s_fin, 0.0)
     out = out + pltpu.roll(pdf, shift=2, axis=1)  # pdf -> col 2
     out = out + pltpu.roll(jnp.where(col < 2, x0, 0.0), shift=4, axis=1)  # x0 -> 4:6
-    out_ref[:] = out
+    out_ref[:] = _compact_epilogue(out, block) if compact else out
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("T", "n_layers", "block", "tile", "use_prng", "mxu_dtype"),
+    static_argnames=("T", "n_layers", "block", "tile", "use_prng", "mxu_dtype",
+                     "compact"),
 )
 def _fused_sample_pdf_call(seed, c_packed, eps_packed, bw_packed, w_packed, *,
                            T, n_layers, block, tile, use_prng,
-                           mxu_dtype="bfloat16"):
+                           mxu_dtype="bfloat16", compact=False):
     n_rows = c_packed.shape[0]
     grid = (n_rows // tile,)
     kernel = functools.partial(
         _fused_sample_pdf_kernel, T=T, n_layers=n_layers, block=block,
-        use_prng=use_prng, mxu_dtype=mxu_dtype,
+        use_prng=use_prng, mxu_dtype=mxu_dtype, compact=compact,
     )
+    rpo = (LANES // (LANES // block * _OUT_VALS)) if compact else 1
     tile_spec = pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -482,12 +563,18 @@ def _fused_sample_pdf_call(seed, c_packed, eps_packed, bw_packed, w_packed, *,
         ),
     ]
     args += [bw_packed, w_packed]
+    out_spec = (
+        pl.BlockSpec((tile // rpo, LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+        if compact
+        else tile_spec
+    )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows // rpo, LANES), jnp.float32),
         grid=grid,
         in_specs=in_specs,
-        out_specs=tile_spec,
+        out_specs=out_spec,
         interpret=_INTERPRET,
     )(*args)
 
@@ -532,9 +619,10 @@ def fused_sample_pdf_disk(
     out = _fused_sample_pdf_call(
         seed_arr, c_packed, eps_packed, bw_packed, w_packed,
         T=T, n_layers=len(v_params), block=block, tile=tile, use_prng=use_prng,
-        mxu_dtype=mxu_dtype,
+        mxu_dtype=mxu_dtype, compact=True,
     )
-    rows = _unpack_rows(out, n, block)
+    # compact rows reshape CONTIGUOUSLY to (n_pad, 8) — no strided gather
+    rows = out.reshape(-1, _OUT_VALS)[:n]
     return rows[:, 0:2], rows[:, 2], rows[:, 4:6]
 
 
@@ -608,13 +696,61 @@ def _sample_pdf_run(seed_arr, c_packed, eps_packed, bw_packed, w_packed, *,
     out = _fused_sample_pdf_call(
         seed_arr, c_packed, eps_packed, bw_packed, w_packed,
         T=T, n_layers=n_layers, block=block, tile=tile,
-        use_prng=use_prng, mxu_dtype=mxu_dtype,
+        use_prng=use_prng, mxu_dtype=mxu_dtype, compact=True,
     )
-    # barrier: materialize the (N, 8) intermediate. Without it XLA fuses
-    # reshape+slice+splits into one strided gather fusion over the wide
-    # kernel buffer (~4.5 ms slower than the copy-then-split schedule).
-    m = jax.lax.optimization_barrier(out.reshape(-1, block)[:n, :8])
+    # The kernel compacts in-VMEM (see _compact_epilogue), so this reshape
+    # is a contiguous view. NOTE: materializing the three narrow slices at
+    # this jit boundary costs ~6 ms at n=2^20 (narrow-minor-dim buffers are
+    # lane-padded on TPU) — throughput-critical callers should use
+    # make_fused_sample_pdf_rows and slice INSIDE their own jit.
+    m = out.reshape(-1, _OUT_VALS)[:n]
     return m[:, 0:2], m[:, 2], m[:, 4:6]
+
+
+def make_fused_sample_pdf_rows(
+    v_params: List[dict],
+    base_params: dict,
+    cond_enc: jnp.ndarray,
+    T: int,
+    tile: int = 1024,
+    eps: jnp.ndarray | None = None,
+    mxu_dtype: str = "bfloat16",
+):
+    """Max-throughput variant of `make_fused_sample_pdf_disk`: returns
+    ``(run, n_pad)`` where ``run(seed_arr)`` is ONE dispatch returning the
+    kernel's compacted rows — a dense (n_rows, 128) fp32 buffer whose
+    CONTIGUOUS reshape ``rows.reshape(-1, 8)[:n]`` yields per-sample
+    (x at 0:2, pdf at 2, x0 at 4:6). Callers slice INSIDE their own jit;
+    materializing the narrow slices at a jit boundary costs ~6 ms at
+    n=2^20 (TPU lane-pads narrow minor dims), which is more than the
+    whole kernel."""
+    n = cond_enc.shape[0]
+    block = _block_size(v_params)
+    pack = LANES // block
+    n_pad = ((n + tile * pack - 1) // (tile * pack)) * (tile * pack)
+
+    c_packed = _pack_rows(cond_enc.astype(jnp.float32), 3, block, n_pad)
+    ones_col = jnp.zeros((n_pad, block), jnp.float32).at[:, block - 1].set(1.0)
+    c_packed = c_packed + ones_col.reshape(n_pad // pack, LANES)
+    bw_packed = _pack_base_weights(base_params, block)
+    w_packed = pack_weights(v_params, block)
+    use_prng = eps is None
+    eps_packed = (
+        jnp.zeros((n_pad // pack, LANES), jnp.float32)
+        if use_prng
+        else _pack_rows(eps.astype(jnp.float32), 0, block, n_pad)
+    )
+    jax.block_until_ready((c_packed, bw_packed, w_packed, eps_packed))
+    n_layers = len(v_params)
+
+    def run(seed_arr: jnp.ndarray):
+        return _fused_sample_pdf_call(
+            seed_arr, c_packed, eps_packed, bw_packed, w_packed,
+            T=T, n_layers=n_layers, block=block, tile=tile,
+            use_prng=use_prng, mxu_dtype=mxu_dtype, compact=True,
+        )
+
+    return run, n_pad
 
 
 def _fused_pdf_kernel(
@@ -628,6 +764,7 @@ def _fused_pdf_kernel(
     n_layers: int,
     block: int,
     mxu_dtype: str = "bfloat16",
+    compact: bool = False,
 ):
     """Disk pdf query fully fused: reverse T-step ODE with det products,
     then the base density at the recovered x0 — one kernel for the whole of
@@ -652,24 +789,32 @@ def _fused_pdf_kernel(
 
     pdf = jnp.where(is0, jnp.exp(log_p0) * det_fin, 0.0)
     out = jnp.where(col < 2, x0, 0.0) + pltpu.roll(pdf, shift=2, axis=1)
-    out_ref[:] = out
+    out_ref[:] = _compact_epilogue(out, block) if compact else out
 
 
 @functools.partial(
-    jax.jit, static_argnames=("T", "n_layers", "block", "tile", "mxu_dtype")
+    jax.jit, static_argnames=("T", "n_layers", "block", "tile", "mxu_dtype",
+                              "compact")
 )
 def _fused_pdf_call(s_packed, c_packed, bw_packed, w_packed, *, T, n_layers,
-                    block, tile, mxu_dtype="bfloat16"):
+                    block, tile, mxu_dtype="bfloat16", compact=False):
     n_rows = s_packed.shape[0]
     grid = (n_rows // tile,)
     kernel = functools.partial(
         _fused_pdf_kernel, T=T, n_layers=n_layers, block=block,
-        mxu_dtype=mxu_dtype,
+        mxu_dtype=mxu_dtype, compact=compact,
     )
+    rpo = (LANES // (LANES // block * _OUT_VALS)) if compact else 1
     tile_spec = pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = (
+        pl.BlockSpec((tile // rpo, LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+        if compact
+        else tile_spec
+    )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows // rpo, LANES), jnp.float32),
         grid=grid,
         in_specs=[
             tile_spec,
@@ -679,7 +824,7 @@ def _fused_pdf_call(s_packed, c_packed, bw_packed, w_packed, *, T, n_layers,
             pl.BlockSpec((w_packed.shape[0], LANES, LANES), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=tile_spec,
+        out_specs=out_spec,
         interpret=_INTERPRET,
     )(s_packed, c_packed, bw_packed, w_packed)
 
@@ -713,9 +858,9 @@ def fused_pdf_disk(
     out = _fused_pdf_call(
         s_packed, c_packed, bw_packed, w_packed,
         T=T, n_layers=len(v_params), block=block, tile=tile,
-        mxu_dtype=mxu_dtype,
+        mxu_dtype=mxu_dtype, compact=True,
     )
-    rows = _unpack_rows(out, n, block)
+    rows = out.reshape(-1, _OUT_VALS)[:n]
     return rows[:, 2], rows[:, 0:2]
 
 
@@ -759,11 +904,10 @@ def fused_ode_transport(
         with_jac=with_jac,
         tile=tile,
         mxu_dtype=mxu_dtype,
+        compact=True,
     )
-    rows = _unpack_rows(out, n, block)
-    x = rows[:, 0:2]
-    det = rows[:, 2]
-    return x, det
+    rows = out.reshape(-1, _OUT_VALS)[:n]
+    return rows[:, 0:2], rows[:, 2]
 
 
 def make_fused_transport(
@@ -816,8 +960,9 @@ def _transport_run(x, c_packed, w_packed, *, n, n_pad, domain, T, n_layers,
         c_packed, w_packed,
         domain=domain, T=T, n_layers=n_layers, block=block,
         reverse=reverse, with_jac=with_jac, tile=tile, mxu_dtype=mxu_dtype,
+        compact=True,
     )
-    m = jax.lax.optimization_barrier(out.reshape(-1, block)[:n, :4])
+    m = out.reshape(-1, _OUT_VALS)[:n]
     return m[:, 0:2], m[:, 2]
 
 
@@ -858,3 +1003,75 @@ def make_fused_sample_pdf_spherical(
         return x, _assemble(p0, det)
 
     return run
+
+
+# --------------------------------------------------- differentiable ----
+#
+# The tcnn-bindings analogue (`/root/reference/tiny-cuda-nn/bindings/torch/
+# tinycudann/modules.py:120-160` ships fwd/bwd/double-bwd): the fused
+# Pallas kernel runs the FORWARD transport at production speed, and the
+# backward pass rematerializes the T-step transport through the XLA
+# `jax.linearize` path and transposes it — reverse-over-forward autodiff,
+# no saved per-step activations (HBM-free residuals, the jax.checkpoint
+# trade SURVEY.md prescribes). Gradients flow to v_params, x0, AND
+# cond_enc, so a pixel loss differentiates end-to-end into the velocity
+# net (the BASELINE.md pixel-gradient north star).
+
+
+def _xla_transport_with_det(domain, v_params, x0, cond_enc, T, reverse):
+    """XLA twin of the fused transport: (x_out, det_prod). Used as the
+    differentiation oracle in the custom_vjp backward (and directly
+    differentiable itself)."""
+    from bsdf_diffusion_sampling_tpu.ode.flow import _step_det, _velocity_and_jac
+
+    h = 1.0 / T
+    sign = -1.0 if reverse else 1.0
+    x = x0
+    det = jnp.ones(x0.shape[:-1], x0.dtype)
+    for t in range(T):
+        tt = float(t)
+        alpha = (1.0 - tt * h) if reverse else (tt * h)
+        v, j0, j1 = _velocity_and_jac(domain, v_params, x,
+                                      jnp.asarray(alpha, x.dtype), cond_enc)
+        det = det * _step_det(j0, j1, h, sign)
+        x = x + sign * h * v
+    return x, det
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7))
+def fused_transport_diff(
+    domain: str,
+    v_params: List[dict],
+    x0: jnp.ndarray,
+    cond_enc: jnp.ndarray,
+    T: int,
+    reverse: bool = False,
+    tile: int = 256,
+    mxu_dtype: str = "bfloat16",
+):
+    """Differentiable fused transport: forward == `fused_ode_transport`
+    (Pallas megakernel), backward == rematerialized XLA VJP. Returns
+    (x_out, det_prod)."""
+    return fused_ode_transport(domain, v_params, x0, cond_enc, T,
+                               reverse=reverse, with_jac=True, tile=tile,
+                               mxu_dtype=mxu_dtype)
+
+
+def _fused_transport_diff_fwd(domain, v_params, x0, cond_enc, T, reverse,
+                              tile, mxu_dtype):
+    out = fused_ode_transport(domain, v_params, x0, cond_enc, T,
+                              reverse=reverse, with_jac=True, tile=tile,
+                              mxu_dtype=mxu_dtype)
+    return out, (v_params, x0, cond_enc)
+
+
+def _fused_transport_diff_bwd(domain, T, reverse, tile, mxu_dtype, res, g):
+    v_params, x0, cond_enc = res
+    _, vjp = jax.vjp(
+        lambda p, x, c: _xla_transport_with_det(domain, p, x, c, T, reverse),
+        v_params, x0, cond_enc,
+    )
+    return vjp(g)
+
+
+fused_transport_diff.defvjp(_fused_transport_diff_fwd, _fused_transport_diff_bwd)
