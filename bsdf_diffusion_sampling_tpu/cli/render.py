@@ -118,8 +118,17 @@ def build_matball(ball: dict, args):
         mat, albedo, brdf = BSDF_MATERIALS[ball["idx"]], ball["albedo"], None
     else:
         mat = albedo = None
-        brdf = load_measured(
-            os.path.join(args.bsdf_dir, ball["filename"] + ".bsdf"))
+        path = os.path.join(args.bsdf_dir, ball["filename"] + ".bsdf")
+        if not os.path.exists(path):
+            # upstream ships only 14 of the RGL data files; array0/1 name
+            # aniso_* materials with no .bsdf on disk. Substitute chm_mint
+            # (same fallback as tests/test_render_array_scenes.py:66-75)
+            # rather than crashing mid-scene with FileNotFoundError.
+            sub = os.path.join(args.bsdf_dir, "chm_mint_rgb.bsdf")
+            print(f"warning: {path} not shipped upstream; "
+                  f"substituting chm_mint_rgb for ball {ball['filename']!r}")
+            path = sub
+        brdf = load_measured(path)
 
     if args.mode == "gt":
         return principled_matball(mat, albedo) if table else measured_matball(brdf)

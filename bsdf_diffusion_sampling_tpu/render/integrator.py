@@ -150,10 +150,12 @@ def _bounce_program(
 
     Split per-bounce rather than unrolling max_depth bounces into one
     program: the dev backend's worker dies once a single program's
-    rays x bounces work crosses ~2*10^5 (bisected in round 1), an unrolled
-    program recompiles per max_depth, and the bounce boundary is where a
-    Pallas sampler can later slot in without embedding pallas_call in a
-    giant jit (pathological Mosaic compile times).
+    rays x bounces work crosses ~2*10^5 (bisected in round 1), and an
+    unrolled program recompiles per max_depth. Note the production neural
+    path (make_neural_bsdf fused=True on TPU) DOES trace fused Pallas
+    pallas_calls inside this jit — one sample + one pdf kernel per matball
+    — which Mosaic compiles fine at this size (measured round 2/3); only
+    a fully unrolled multi-bounce megaprogram blew up compile times.
     """
     matballs = matball
     ro, rd, px, L, beta, alive, prev_pdf = state

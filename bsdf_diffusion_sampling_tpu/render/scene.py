@@ -94,7 +94,10 @@ class Scene(NamedTuple):
     envmap: EnvMap
     camera: Camera
     desc: SceneDesc
-    lights: jnp.ndarray = jnp.zeros((0, 6), jnp.float32)
+    # numpy default: a class-body jnp op would initialize the JAX backend at
+    # import time, breaking the init_distributed()-before-any-JAX-API contract
+    # (parallel/distributed.py). Converted to a device array on first use.
+    lights: jnp.ndarray = np.zeros((0, 6), np.float32)
 
 
 def _rotation(axis: np.ndarray, angle_deg: float) -> np.ndarray:
@@ -205,7 +208,10 @@ def parse_scene_xml(path: str, spp: Optional[int] = None,
     w = int(film_props["width"]) if width is None else width
     h = int(film_props["height"]) if height is None else height
     sampler_props = _get_props(sensor.find("sampler"), defaults)
-    spp_v = int(sampler_props.get("samplecount", defaults.get("spp", "64")))
+    # explicit spp= wins over the XML's literal samplecount (load_scene(spp=...)
+    # was a silent no-op when the XML hard-coded a count — ADVICE r2)
+    spp_v = (spp if spp is not None
+             else int(sampler_props.get("samplecount", defaults.get("spp", "64"))))
     integrator_props = _get_props(root.find("integrator"), defaults)
     max_depth = int(integrator_props.get("maxdepth", "-1"))
 
