@@ -75,29 +75,60 @@ def report(name, dt):
 
 eps_dummy = None
 
-for tile in (256, 512, 1024):
+# Packed buffers ride as jit ARGUMENTS everywhere: a closure would bake
+# 134 MB of program constants into each executable — slow to build, and
+# uploading constant-laden programs through the tunneled dev backend has
+# been observed to wedge it for tens of minutes.
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "compact"))
+def _kernel_only(seed, c_packed, eps_packed, bw_packed, w_packed, *, tile,
+                 compact):
+    out = fused_ode._fused_sample_pdf_call(
+        seed, c_packed, eps_packed, bw_packed, w_packed,
+        T=T, n_layers=N_LAYERS, block=BLOCK, tile=tile, use_prng=True,
+        compact=compact)
+    return jnp.sum(out[:, :1])
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _prod_run(seed, c_packed, eps_packed, bw_packed, w_packed, *, tile):
+    """Production unit: compact kernel + contiguous reshape/slice +
+    consume, one program (mirrors the render bounce jit and bench.py)."""
+    out = fused_ode._fused_sample_pdf_call(
+        seed, c_packed, eps_packed, bw_packed, w_packed,
+        T=T, n_layers=N_LAYERS, block=BLOCK, tile=tile, use_prng=True,
+        compact=True)
+    m = out.reshape(-1, 8)[:n]
+    return jnp.sum(m[:, 2]) + jnp.sum(m[:, 0:2])
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def _split_run(seed, c_packed, eps_packed, bw_packed, w_packed, *, tile):
+    """Legacy 2-dispatch-shaped variant kept for comparison: narrow slices
+    materialized at the jit boundary (rounds 1-2 bench unit)."""
+    x, pdf, x0 = fused_ode._sample_pdf_run(
+        seed, c_packed, eps_packed, bw_packed, w_packed,
+        n=n, T=T, n_layers=N_LAYERS, block=BLOCK, tile=tile,
+        use_prng=True, mxu_dtype="bfloat16")
+    return jnp.sum(pdf)
+
+
+N_LAYERS = len(v_params)
+BLOCK = block
+
+for tile in (256, 512, 1024, 2048):
     c_packed, bw_packed, w_packed = prep(tile)
     eps_packed = jnp.zeros((c_packed.shape[0], LANES), jnp.float32)
+    args = (c_packed, eps_packed, bw_packed, w_packed)
 
-    call = functools.partial(
-        fused_ode._fused_sample_pdf_call,
-        T=T, n_layers=len(v_params), block=block, tile=tile, use_prng=True)
-
-    # A: kernel only, consumed by scalar sum (sum fused into same program)
-    @jax.jit
-    def kernel_only(seed):
-        out = call(seed, c_packed, eps_packed, bw_packed, w_packed)
-        return jnp.sum(out[:, :1])
-
-    report(f"tile={tile:5d} A kernel+colsum ", chain_time(kernel_only))
-
-    # B: full production run (kernel + compact + split), consume pdf sum
-    def full_run(seed):
-        x, pdf, x0 = fused_ode._sample_pdf_run(
-            seed, c_packed, eps_packed, bw_packed, w_packed,
-            n=n, T=T, n_layers=len(v_params), block=block, tile=tile,
-            use_prng=True, mxu_dtype="bfloat16")
-        return _consume(pdf)
-
-    _consume = jax.jit(lambda pdf: jnp.sum(pdf))
-    report(f"tile={tile:5d} B full run      ", chain_time(full_run))
+    report(f"tile={tile:5d} A kernel wide   ",
+           chain_time(lambda s: _kernel_only(s, *args, tile=tile,
+                                             compact=False)))
+    report(f"tile={tile:5d} B kernel compact",
+           chain_time(lambda s: _kernel_only(s, *args, tile=tile,
+                                             compact=True)))
+    report(f"tile={tile:5d} C production    ",
+           chain_time(lambda s: _prod_run(s, *args, tile=tile)))
+    report(f"tile={tile:5d} D legacy split  ",
+           chain_time(lambda s: _split_run(s, *args, tile=tile)))

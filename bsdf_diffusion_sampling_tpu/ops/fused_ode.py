@@ -18,16 +18,20 @@ kernels (`fully_fused_mlp.cu:115-118`), but expressed as a layout instead
 of template code. The MXU then runs dense 128x128 passes with 4x (width
 32) or 2x (width 64) the useful throughput.
 
-Jacobian: per step we need dv/dx, a 2-column Jacobian. Both tangent
-streams ride the same weights as the primal as a batched (2, TILE, 128)
-dot_general next to the primal's (TILE, 128) @ (128, 128); hidden-layer
-tangents multiply by silu'(z_primal) via a leading-axis broadcast. (An
-earlier revision concatenated [primal; t0; t1] on the sublane axis; the
-per-layer concatenation copies made the kernel VPU-bound — same MXU
-FLOPs, ~25% slower end-to-end.) For the spherical domain the state->input
-encoding (theta, phi) -> (theta, sin phi, cos phi)
-(`mlp_brdf_sampling.py:119-120`) is differentiated in-kernel: tangent
-seeds are d(enc)/d(theta) = (1,0,0) and d(enc)/d(phi) = (0, cos, -sin).
+Jacobian: the change-of-variables det. Two tangent streams ride the same
+weights as the primal as a batched (2, TILE, 128) dot_general next to the
+primal's (TILE, 128) @ (128, 128); hidden-layer tangents multiply by
+silu'(z_primal) via a leading-axis broadcast. (An earlier revision
+concatenated [primal; t0; t1] on the sublane axis; the per-layer
+concatenation copies made the kernel VPU-bound — same MXU FLOPs, ~25%
+slower end-to-end.) The streams are CARRIED across ODE steps — tang[k] =
+d(state_t)/d(x0_k) by the chain rule — so ONE 2x2 det at the end of the
+transport replaces a per-step det (det is multiplicative over the step
+maps; round 2 paid two pltpu.rolls + ~8 VPU ops per step for the same
+number). For the spherical domain the state->input encoding
+(theta, phi) -> (theta, sin phi, cos phi) (`mlp_brdf_sampling.py:119-120`)
+is differentiated in-kernel each step: the carried state tangent maps to
+input tangents via (u_theta, cos(phi) u_phi, -sin(phi) u_phi).
 
 Numerics: activations, state, and det products are fp32 throughout (the
 det product is the sample's importance weight — drift there shows up as
@@ -133,8 +137,8 @@ def _mlp_with_tangents(inp, tang, ws, mxu=jnp.float32):
 
     Everything elementwise stays fp32 — see _hoist_weights for the
     measured evidence that a bf16 elementwise chain is slower on v5e.
-    Dot outputs (v, j0, j1, and the det algebra downstream) accumulate in
-    fp32. Returns (v, j0, j1)."""
+    Dot outputs accumulate in fp32. Returns (v, tang_out) with tang_out
+    (2, tile, 128) = (J @ seed0, J @ seed1)."""
     prec = _mxu_precision(mxu)
     dn = (((2,), (0,)), ((), ()))  # contract feature dim, no batch dims
     n_layers = len(ws)
@@ -147,7 +151,19 @@ def _mlp_with_tangents(inp, tang, ws, mxu=jnp.float32):
             inp, tang = a, tz * sp[None]
         else:
             inp, tang = z, tz
-    return inp, tang[0], tang[1]
+    return inp, tang
+
+
+def _det2_from_tangents(tang):
+    """det of the 2x2 sensitivity matrix carried in two tangent streams:
+    tang[k] holds column k = d(state)/d(x0_k), state components on
+    blockcols 0 (theta/x) and 1 (phi/y). Correct at col0 of each block,
+    garbage elsewhere (callers mask is0) — ONE roll pair for the whole
+    transport instead of two rolls per step."""
+    a, b = tang[0], tang[1]
+    p = a * pltpu.roll(b, shift=LANES - 1, axis=1)  # lane0: M00*M11
+    q = b * pltpu.roll(a, shift=LANES - 1, axis=1)  # lane0: M01*M10
+    return p - q
 
 
 def _mlp_primal(x, ws, mxu=jnp.float32):
@@ -186,66 +202,68 @@ def _fused_ode_kernel(
     s0 = s_ref[:]
 
     def encode(s, alpha):
-        """State -> network input rows (x_enc, alpha, cond)."""
+        """State -> network input rows (x_enc, alpha, cond). Also returns
+        the (cos phi, -sin phi) lanes for the spherical tangent transform
+        (None for disk) so sin/cos are computed once per step."""
         if domain == "disk":
             x_part = jnp.where(col < 2, s, 0.0)
             alpha_col = jnp.where(is2, alpha, 0.0)
-        else:
-            theta = jnp.where(is0, s, 0.0)
-            # phi lives in blockcol 1; place sin(phi) at input col 1 and
-            # cos(phi) at input col 2 by computing on the phi column and
-            # shifting the cos lane right by one.
-            sin_p = jnp.where(is1, jnp.sin(s), 0.0)
-            cos_p = jnp.where(is1, jnp.cos(s), 0.0)
-            # shift cos from blockcol1 to blockcol2 (one lane right)
-            cos_p = pltpu.roll(cos_p, shift=1, axis=1)
-            x_part = theta + sin_p + cos_p
-            alpha_col = jnp.where(col == 3, alpha, 0.0)
-        return x_part + alpha_col + cond
-
-    t0_const = jnp.where(is0, 1.0, 0.0).astype(f32)
-    t1_disk = jnp.where(is1, 1.0, 0.0).astype(f32)
-
-    def tangent_seeds(s):
-        """d(input_enc)/d(state) seed pair. Disk: identity (constant).
-        Spherical: d(sin phi)/d(phi) = cos, d(cos phi)/d(phi) = -sin."""
-        if domain == "disk":
-            return jnp.stack([t0_const, t1_disk])
+            return x_part + alpha_col + cond, None
+        theta = jnp.where(is0, s, 0.0)
+        # phi lives in blockcol 1; place sin(phi) at input col 1 and
+        # cos(phi) at input col 2 by computing on the phi column and
+        # shifting the cos lane right by one.
+        sin_p = jnp.where(is1, jnp.sin(s), 0.0)
         cos_p = jnp.where(is1, jnp.cos(s), 0.0)
-        sin_p = jnp.where(is1, -jnp.sin(s), 0.0)
-        return jnp.stack([t0_const, cos_p + pltpu.roll(sin_p, shift=1, axis=1)])
+        # shift cos from blockcol1 to blockcol2 (one lane right)
+        x_part = theta + sin_p + pltpu.roll(cos_p, shift=1, axis=1)
+        alpha_col = jnp.where(col == 3, alpha, 0.0)
+        return x_part + alpha_col + cond, (cos_p, sin_p)
+
+    # identity tangent seeds in STATE coordinates; carried across steps
+    # (see _disk_ode_loop: one end-of-transport det replaces per-step dets)
+    tang0 = jnp.stack([jnp.where(is0, 1.0, 0.0).astype(f32),
+                       jnp.where(is1, 1.0, 0.0).astype(f32)])
+
+    def enc_tangent(tang, trig):
+        """d(input_enc)/d(x0_k) = d(enc)/d(state) @ tang[k]. Disk: enc is
+        the identity on the state lanes. Spherical: theta passes through;
+        the phi component fans out to (cos phi, -sin phi) on input cols
+        1 and 2."""
+        if domain == "disk":
+            return tang
+        cos_p, sin_p = trig
+        theta_part = jnp.where(is0, tang, 0.0)
+        cos_part = cos_p[None] * tang           # nonzero only at is1
+        sin_part = (-sin_p[None]) * tang
+        return theta_part + cos_part + pltpu.roll(sin_part, shift=1, axis=2)
 
     ws = _hoist_weights(w_ref, n_layers, mxu)
 
     def body(t, carry):
-        s, det = carry
+        s, tang = carry
         tt = t.astype(f32) if hasattr(t, "astype") else float(t)
         alpha = (1.0 - tt * h) if reverse else (tt * h)
-        inp = encode(s, alpha)
+        inp, trig = encode(s, alpha)
         if with_jac:
-            v, j0, j1 = _mlp_with_tangents(inp, tangent_seeds(s), ws, mxu)
-            # unmasked 2x2 det (correct at col0, garbage elsewhere — the
-            # final write masks is0; see _disk_ode_loop)
-            a = 1.0 + sign * h * j0
-            b = sign * h * j1
-            c = pltpu.roll(sign * h * j0, shift=LANES - 1, axis=1)
-            d = pltpu.roll(1.0 + sign * h * j1, shift=LANES - 1, axis=1)
-            det = det * (a * d - b * c)
+            v, tz = _mlp_with_tangents(inp, enc_tangent(tang, trig), ws, mxu)
+            # packed weights zero output cols >= 2 exactly, so no masks
+            tang = tang + sign * h * tz
         else:
             v = _mlp_primal(inp, ws, mxu)
-        s = s + sign * h * jnp.where(col < 2, v, 0.0)
-        return s, det
+        s = s + sign * h * v
+        return s, tang
 
-    det0 = jnp.ones((tile, LANES), f32)
     if T <= _UNROLL_T:
-        s_fin, det_fin = s0, det0
+        s_fin, tang_fin = s0, tang0
         for t in range(T):
-            s_fin, det_fin = body(t, (s_fin, det_fin))
+            s_fin, tang_fin = body(t, (s_fin, tang_fin))
     else:
-        s_fin, det_fin = jax.lax.fori_loop(0, T, body, (s0, det0))
+        s_fin, tang_fin = jax.lax.fori_loop(0, T, body, (s0, tang0))
     # det product is stored on blockcol 2 (x uses 0:2)
     out = jnp.where(col < 2, s_fin, 0.0)
     if with_jac:
+        det_fin = _det2_from_tangents(tang_fin)
         out = out + pltpu.roll(jnp.where(is0, det_fin, 0.0), shift=2, axis=1)
     out_ref[:] = _compact_epilogue(out, block) if compact else out
 
@@ -418,52 +436,52 @@ def _compact_epilogue(out, block: int):
 
 
 def _disk_ode_loop(x_init, cond, w_ref, *, T, n_layers, tile, col, reverse, mxu):
-    """T-step disk-domain Euler transport with per-step 2x2 dets, shared by
-    the sample+pdf and pdf-query kernels. Returns (x_fin, det_fin) with x on
-    blockcols 0:2 and the det product on blockcol 0 (other lanes of det_fin
-    carry garbage — the per-step det algebra runs unmasked on all lanes and
-    callers mask is0 once; garbage lanes never mix into read lanes because
-    lane alignment uses rolls, not reductions).
+    """T-step disk-domain Euler transport with the change-of-variables det,
+    shared by the sample+pdf and pdf-query kernels. Returns (x_fin, det_fin)
+    with x on blockcols 0:2 and the det product on blockcol 0 (other lanes
+    of det_fin carry garbage — callers mask is0 once).
 
-    VPU-economy notes (this loop is VPU-bound, not MXU-bound): the tangent
-    seeds are constants (d(state)/d(state) = I) hoisted out of the loop;
-    the alpha lane rides a precomputed is2 mask; short loops unroll so
-    Mosaic can software-pipeline VPU work against the next step's matmuls.
+    VPU-economy notes (this loop is VPU-bound, not MXU-bound — VERDICT r2):
+    instead of re-seeding identity tangents each step and paying a 2x2 det
+    (two pltpu.rolls + ~8 elementwise ops) per step, the tangent streams
+    are CARRIED across steps — tang[k] = d(state_t)/d(x0_k) propagated by
+    the exact chain rule tang += h*(J_t @ tang) — and ONE det is taken at
+    the end: det(prod_t(I + h J_t)) == prod_t det(I + h J_t) exactly (det
+    is multiplicative), so this matches the XLA oracle's per-step det
+    product (ode/flow.py:_step_det) to fp rounding. The v/tangent updates
+    need no masking: the packed last-layer weights zero-pad output columns
+    >= 2 of each block (pack_weights), so MXU outputs are exact zeros
+    there. alpha*is2 folds to a trace-time constant in the unrolled loop;
+    short loops unroll so Mosaic can software-pipeline VPU work against
+    the next step's matmuls.
     """
     f32 = jnp.float32
     h = 1.0 / T
     sign = -1.0 if reverse else 1.0
     is0, is1 = (col == 0), (col == 1)
-    x_mask = col < 2
     is2f = jnp.where(col == 2, 1.0, 0.0).astype(f32)
     tang0 = jnp.stack([jnp.where(is0, 1.0, 0.0).astype(f32),
                        jnp.where(is1, 1.0, 0.0).astype(f32)])
     ws = _hoist_weights(w_ref, n_layers, mxu)
 
     def body(t, carry):
-        s, det = carry
+        s, tang = carry
         tt = t.astype(f32) if hasattr(t, "astype") else float(t)
         alpha = (1.0 - tt * h) if reverse else (tt * h)
         # s stays masked to blockcols 0:2 by construction (x0 is masked at
-        # the draw and every update re-masks v), so no where() here
+        # the draw and every update adds exact zeros outside 0:2)
         inp = s + alpha * is2f + cond
-        v, j0, j1 = _mlp_with_tangents(inp, tang0, ws, mxu)
-        # 2x2 det on every lane; correct at col0, garbage elsewhere:
-        # det = (1 + h*j00)(1 + h*j11) - (h*j01)(h*j10)
-        a_ = 1.0 + sign * h * j0  # col0: 1 + h dv0/dx0
-        b_ = sign * h * j1        # col0: h dv0/dx1
-        c_ = pltpu.roll(sign * h * j0, shift=LANES - 1, axis=1)  # h dv1/dx0
-        d_ = pltpu.roll(1.0 + sign * h * j1, shift=LANES - 1, axis=1)
-        det = det * (a_ * d_ - b_ * c_)
-        return s + sign * h * jnp.where(x_mask, v, 0.0), det
+        v, tz = _mlp_with_tangents(inp, tang, ws, mxu)
+        return s + sign * h * v, tang + sign * h * tz
 
-    det0 = jnp.ones((tile, LANES), f32)
     if T <= _UNROLL_T:
-        carry = (x_init, det0)
+        carry = (x_init, tang0)
         for t in range(T):
             carry = body(t, carry)
-        return carry
-    return jax.lax.fori_loop(0, T, body, (x_init, det0))
+    else:
+        carry = jax.lax.fori_loop(0, T, body, (x_init, tang0))
+    s_fin, tang_fin = carry
+    return s_fin, _det2_from_tangents(tang_fin)
 
 
 def _fused_sample_pdf_kernel(
@@ -648,20 +666,9 @@ def make_fused_sample_pdf_disk(
     (required in interpret mode on CPU, as in `fused_sample_pdf_disk`).
     """
     n = cond_enc.shape[0]
-    block = _block_size(v_params)
-    pack = LANES // block
-    n_pad = ((n + tile * pack - 1) // (tile * pack)) * (tile * pack)
-
-    c_packed = _pack_rows(cond_enc.astype(jnp.float32), 3, block, n_pad)
-    ones_col = jnp.zeros((n_pad, block), jnp.float32).at[:, block - 1].set(1.0)
-    c_packed = c_packed + ones_col.reshape(n_pad // pack, LANES)
-    bw_packed = _pack_base_weights(base_params, block)
-    w_packed = pack_weights(v_params, block)
     use_prng = eps is None
-    eps_packed = (
-        jnp.zeros((n_pad // pack, LANES), jnp.float32)
-        if use_prng
-        else _pack_rows(eps.astype(jnp.float32), 0, block, n_pad)
+    c_packed, eps_packed, bw_packed, w_packed, block, _ = (
+        pack_sample_pdf_inputs(v_params, base_params, cond_enc, tile, eps)
     )
     jax.block_until_ready((c_packed, bw_packed, w_packed, eps_packed))
 
@@ -707,6 +714,37 @@ def _sample_pdf_run(seed_arr, c_packed, eps_packed, bw_packed, w_packed, *,
     return m[:, 0:2], m[:, 2], m[:, 4:6]
 
 
+def pack_sample_pdf_inputs(
+    v_params: List[dict],
+    base_params: dict,
+    cond_enc: jnp.ndarray,
+    tile: int,
+    eps: jnp.ndarray | None = None,
+):
+    """Pack every device buffer the fused sample+pdf kernel needs. Returns
+    ``(c_packed, eps_packed, bw_packed, w_packed, block, n_pad)``. Exposed
+    so throughput-critical callers (bench.py) can pass the packed buffers
+    as ARGUMENTS to their own jitted step — closing over them under
+    jax.jit bakes them in as program constants (134 MB at n=2^20) and
+    measurably slows the call."""
+    n = cond_enc.shape[0]
+    block = _block_size(v_params)
+    pack = LANES // block
+    n_pad = ((n + tile * pack - 1) // (tile * pack)) * (tile * pack)
+
+    c_packed = _pack_rows(cond_enc.astype(jnp.float32), 3, block, n_pad)
+    ones_col = jnp.zeros((n_pad, block), jnp.float32).at[:, block - 1].set(1.0)
+    c_packed = c_packed + ones_col.reshape(n_pad // pack, LANES)
+    bw_packed = _pack_base_weights(base_params, block)
+    w_packed = pack_weights(v_params, block)
+    eps_packed = (
+        jnp.zeros((n_pad // pack, LANES), jnp.float32)
+        if eps is None
+        else _pack_rows(eps.astype(jnp.float32), 0, block, n_pad)
+    )
+    return c_packed, eps_packed, bw_packed, w_packed, block, n_pad
+
+
 def make_fused_sample_pdf_rows(
     v_params: List[dict],
     base_params: dict,
@@ -724,21 +762,9 @@ def make_fused_sample_pdf_rows(
     materializing the narrow slices at a jit boundary costs ~6 ms at
     n=2^20 (TPU lane-pads narrow minor dims), which is more than the
     whole kernel."""
-    n = cond_enc.shape[0]
-    block = _block_size(v_params)
-    pack = LANES // block
-    n_pad = ((n + tile * pack - 1) // (tile * pack)) * (tile * pack)
-
-    c_packed = _pack_rows(cond_enc.astype(jnp.float32), 3, block, n_pad)
-    ones_col = jnp.zeros((n_pad, block), jnp.float32).at[:, block - 1].set(1.0)
-    c_packed = c_packed + ones_col.reshape(n_pad // pack, LANES)
-    bw_packed = _pack_base_weights(base_params, block)
-    w_packed = pack_weights(v_params, block)
     use_prng = eps is None
-    eps_packed = (
-        jnp.zeros((n_pad // pack, LANES), jnp.float32)
-        if use_prng
-        else _pack_rows(eps.astype(jnp.float32), 0, block, n_pad)
+    c_packed, eps_packed, bw_packed, w_packed, block, n_pad = (
+        pack_sample_pdf_inputs(v_params, base_params, cond_enc, tile, eps)
     )
     jax.block_until_ready((c_packed, bw_packed, w_packed, eps_packed))
     n_layers = len(v_params)
