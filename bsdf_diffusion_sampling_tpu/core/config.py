@@ -132,6 +132,13 @@ class SamplerConfig:
     firefly_clamp_sphere: float = 3.5  # `rendering/bsdf_myresult.py:102`
     disk_valid_r2: float = 0.995  # `rendering/brdf_measured_disk.py:69`
     pole_sin_eps: float = 5e-5  # `rendering/bsdf_myresult.py:69`
+    # pdf queries invert the FORWARD Euler map with a 2x2 Newton solve
+    # (ode_pdf_exact) instead of the reference's reverse-Euler
+    # approximation — sample<->pdf consistency goes from ~25% median rel
+    # to ~1e-5 on trained spherical nets (no reference counterpart; XLA
+    # path only, the fused Pallas pdf kernel stays reverse-Euler)
+    pdf_exact: bool = False
+    pdf_newton_iters: int = 2
 
 
 def asdict(cfg: Any) -> dict:

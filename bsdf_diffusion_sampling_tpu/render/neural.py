@@ -52,6 +52,8 @@ class NeuralBSDF(NamedTuple):
     pole_sin_eps: float = 5e-5
     fused: bool = False  # run sample/pdf through the Pallas fused kernels
     tile: int = 256  # Pallas batch tile (sublane rows per grid step)
+    pdf_exact: bool = False  # Newton exact-inverse pdf queries (XLA path)
+    pdf_newton_iters: int = 2
 
 
 def make_neural_bsdf(
@@ -88,6 +90,8 @@ def make_neural_bsdf(
         pole_sin_eps=sampler_cfg.pole_sin_eps,
         fused=fused,
         tile=tile,
+        pdf_exact=sampler_cfg.pdf_exact,
+        pdf_newton_iters=sampler_cfg.pdf_newton_iters,
     )
 
 
@@ -120,8 +124,17 @@ def _sample_x_pdf(nb: NeuralBSDF, key, omega_i, cond):
 
 
 def _pdf_query(nb: NeuralBSDF, x, omega_i, cond):
-    """Reverse-ODE pdf in domain coordinates, fused or XLA."""
+    """Reverse-ODE pdf in domain coordinates, fused or XLA. With
+    nb.pdf_exact the XLA path uses the Newton exact-inverse query
+    (ode_pdf_exact) — sample<->pdf consistent to ~1e-5 instead of the
+    reverse-Euler ~25% (see SamplerConfig.pdf_exact)."""
     if not nb.fused:
+        if nb.pdf_exact:
+            from bsdf_diffusion_sampling_tpu.ode import ode_pdf_exact
+
+            return ode_pdf_exact(nb.domain, nb.v_params, nb.base_params, x,
+                                 omega_i, cond, nb.T,
+                                 newton_iters=nb.pdf_newton_iters)
         return ode_pdf(nb.domain, nb.v_params, nb.base_params, x, omega_i,
                        cond, nb.T)
     if nb.domain == "disk":
