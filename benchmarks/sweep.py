@@ -5,11 +5,18 @@ sizes 2^14..2^21 and reports samples/s
 (`/root/reference/tiny-cuda-nn/benchmarks/image/bench_ours.cu:188-285`).
 Here the workload is this framework's hot path — the T=4 disk-domain
 sample+pdf megakernel — measured for both the fused Pallas kernel and the
-XLA lax.scan fallback, with the dependency-chained timing discipline of
-bench.py (the dev tunnel elides unconsumed work).
+XLA lax.scan fallback, plus the T=8 spherical fused transport (the more
+expensive product-path config, VERDICT r2 item 7), with the
+dependency-chained timing discipline of bench.py.
+
+Timing discipline (same as bench.py): the measured unit is ONE jitted
+program (compacted kernel + in-program slice + consume — the production
+render-bounce pattern); every iteration's seed derives from the previous
+result so nothing can be elided; the final sync is a HOST TRANSFER
+(block_until_ready returns at enqueue on the tunneled axon backend).
 
 Per batch size prints one JSON line:
-  {"batch": N, "fused_mevals": ..., "xla_mevals": ...,
+  {"domain": "disk", "batch": N, "fused_mevals": ..., "xla_mevals": ...,
    "fused_ms": ..., "mxu_util": ...}
 
 mxu_util is raw kernel FLOPs (including the 4x lane-packing redundancy of
@@ -19,7 +26,9 @@ single-pass bf16, so the peak defaults to 197 TFLOP/s (v5e bf16);
 override with BENCH_PEAK_TFLOPS (use ~49 when sweeping
 --mxu-dtype float32, which forces the 3/6-pass fp32-accurate mode).
 
-Usage:  python -u benchmarks/sweep.py [--batches 14 15 ... 21] [--iters 20]
+Usage:
+  python -u benchmarks/sweep.py [--batches 14 ... 21] [--iters 20]
+      [--save benchmarks/results/sweep.json]
 """
 
 from __future__ import annotations
@@ -32,20 +41,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import functools
 import json
-import os
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def _flops_per_eval(T: int, n_layers: int, lanes: int, pack: int, streams: int = 3) -> float:
+def _flops_per_eval(T: int, n_layers: int, lanes: int, pack: int,
+                    streams: int = 3) -> float:
     """Raw MXU flops per sample: T steps x streams x n_layers 128x128
     matmuls amortized over `pack` lane-packed samples."""
     return T * streams * n_layers * (2.0 * lanes * lanes) / pack
 
 
-def run_sweep(batches, iters, T=4, tile=256):
+def _sync(x) -> float:
+    return float(np.asarray(jax.device_get(x)))
+
+
+def _chain_time(step, seed0, iters):
+    """step(seed) -> (next_seed, scalar). Dependency-chained wall-clock
+    per call with host-transfer sync."""
+    seed, acc = step(seed0)
+    _sync(acc)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        seed, acc = step(seed)
+    _sync(acc)
+    return (time.perf_counter() - t0) / iters
+
+
+def run_sweep(batches, iters, T=4, tile=1024, save=None):
     from bsdf_diffusion_sampling_tpu.core.config import ModelConfig
     from bsdf_diffusion_sampling_tpu.models import get_base, velocity_init
     from bsdf_diffusion_sampling_tpu.models.velocity import encode_condition
@@ -61,64 +87,110 @@ def run_sweep(batches, iters, T=4, tile=256):
     v_params = velocity_init(k1, cfg)
     base = get_base("disk")
     b_params = base.init(k2)
+    n_layers = len(v_params)
+    block = fused_ode._block_size(v_params)
+    pack = fused_ode.LANES // block
+
+    @functools.partial(jax.jit, static_argnames=("n", "tile"))
+    def disk_step(seed, c_pk, eps_pk, bw_pk, w_pk, *, n, tile):
+        rows = fused_ode._fused_sample_pdf_call(
+            seed, c_pk, eps_pk, bw_pk, w_pk,
+            T=T, n_layers=n_layers, block=block, tile=tile,
+            use_prng=True, compact=True)
+        m = rows.reshape(-1, 8)[:n]
+        acc = jnp.sum(m[:, 2]) + jnp.sum(m[:, 0:2])
+        return seed + 1 + (acc > -1e30).astype(jnp.int32) * 0, acc
 
     results = []
     for log2n in batches:
         n = 1 << log2n
         omega_i = jax.random.uniform(k3, (n, 2), minval=-0.7, maxval=0.7)
         cond = encode_condition(omega_i, cfg)
+        row = {"domain": "disk", "batch": n, "T": T}
+        t_eff = min(tile, max(8, n // pack))
 
-        row = {"batch": n}
-
-        # ---- fused Pallas path (TPU only; interpret mode is not a perf path)
         if on_tpu:
-            fused = fused_ode.make_fused_sample_pdf_disk(
-                v_params, b_params, cond, T, tile=min(tile, max(8, n // 512))
-            )
+            c_pk, eps_pk, bw_pk, w_pk, _, _ = fused_ode.pack_sample_pdf_inputs(
+                v_params, b_params, cond, t_eff)
+            jax.block_until_ready((c_pk, eps_pk, bw_pk, w_pk))
+            dt = _chain_time(
+                lambda s: disk_step(s, c_pk, eps_pk, bw_pk, w_pk,
+                                    n=n, tile=t_eff),
+                jnp.zeros((1, 1), jnp.int32), iters)
+            row["fused_mevals"] = round(n / dt / 1e6, 2)
+            row["fused_ms"] = round(dt * 1e3, 3)
+            fl = _flops_per_eval(T, n_layers, fused_ode.LANES, pack)
+            row["mxu_util"] = round(n * fl / dt / (peak_tflops * 1e12), 3)
 
-            @jax.jit
-            def next_seed(pdf, i):
-                return (i + (pdf[0] > -1.0).astype(jnp.int32)).reshape(1, 1)
-
-            steps = [jnp.asarray(i, jnp.int32) for i in range(iters + 1)]
-            jax.block_until_ready(steps)
-            seed = jnp.zeros((1, 1), jnp.int32)
-            x, pdf, _ = fused(seed)
-            seed = next_seed(pdf, steps[0])
-            jax.block_until_ready(seed)
-            t0 = time.perf_counter()
-            for i in range(iters):
-                x, pdf, _ = fused(seed)
-                seed = next_seed(pdf, steps[i + 1])
-            jax.block_until_ready((x, pdf, seed))
-            dt = time.perf_counter() - t0
-            row["fused_mevals"] = round(n * iters / dt / 1e6, 2)
-            row["fused_ms"] = round(dt / iters * 1e3, 3)
-            block = fused_ode._block_size(v_params)
-            fl = _flops_per_eval(T, len(v_params), fused_ode.LANES,
-                                 fused_ode.LANES // block)
-            row["mxu_util"] = round(n * iters * fl / dt / (peak_tflops * 1e12), 3)
-
-        # ---- XLA lax.scan fallback
+        # ---- XLA lax.scan fallback (scan chains iterations internally)
         @functools.partial(jax.jit, static_argnames=("m",))
         def run_scan(key, m):
             def body(carry, i):
                 x, pdf = ode_sample(
                     "disk", v_params, b_params, omega_i, cond,
-                    jax.random.fold_in(key, i + carry.astype(jnp.int32) * 0), T,
+                    jax.random.fold_in(key, i + carry.astype(jnp.int32) * 0),
+                    T,
                 )
                 return carry + pdf.sum() + x.sum(), None
             acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(m))
             return acc
 
-        run_scan(k4, iters).block_until_ready()  # compile
+        _sync(run_scan(k4, iters))  # compile
         t0 = time.perf_counter()
-        run_scan(k4, iters).block_until_ready()
+        _sync(run_scan(k4, iters))
         dt = time.perf_counter() - t0
         row["xla_mevals"] = round(n * iters / dt / 1e6, 2)
 
         print(json.dumps(row), flush=True)
         results.append(row)
+
+    # ---- spherical fused transport, T=8 (the expensive product path):
+    # production unit = _transport_run (state pack + pallas + unpack, one
+    # program). The spherical base draw is an XLA program by design
+    # (Best-Fisher rejection sampling; see make_fused_sample_pdf_spherical).
+    if on_tpu:
+        s_cfg = ModelConfig(domain="spherical", velocity_hidden=32,
+                            velocity_layers=4)
+        sv_params = velocity_init(k1, s_cfg)
+        s_layers = len(sv_params)
+        for log2n in batches[-2:]:
+            n = 1 << log2n
+            om = jax.random.uniform(k3, (n, 2), minval=0.1, maxval=1.4)
+            s_cond = encode_condition(om, s_cfg)
+            run = fused_ode.make_fused_transport(
+                "spherical", sv_params, s_cond, T=8, tile=tile)
+            x0 = jnp.stack([om[:, 0], om[:, 1] * 2], axis=-1)
+
+            # chain by feeding the transported state back in: every call
+            # depends on the previous kernel's output (run is already ONE
+            # jitted dispatch — wrapping it in another jit would bake the
+            # closed-over packed buffers in as program constants)
+            jsum = jax.jit(jnp.sum)  # jitted: ~0.05 ms vs ~30 ms eager
+            x = run(x0)[0]
+            _sync(jsum(x))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                x = run(x)[0]
+            _sync(jsum(x))
+            dt = (time.perf_counter() - t0) / iters
+            fl = _flops_per_eval(8, s_layers, fused_ode.LANES, pack)
+            row = {"domain": "spherical_transport", "batch": n, "T": 8,
+                   "fused_mevals": round(n / dt / 1e6, 2),
+                   "fused_ms": round(dt * 1e3, 3),
+                   "mxu_util": round(n * fl / dt / (peak_tflops * 1e12), 3)}
+            print(json.dumps(row), flush=True)
+            results.append(row)
+
+    if save:
+        os.makedirs(os.path.dirname(save) or ".", exist_ok=True)
+        meta = {"device": str(jax.devices()[0].device_kind),
+                "backend": jax.default_backend(),
+                "iters": iters, "tile": tile,
+                "peak_tflops_assumed": peak_tflops,
+                "rows": results}
+        with open(save, "w") as f:
+            json.dump(meta, f, indent=2)
+        print(f"saved {save}", flush=True)
     return results
 
 
@@ -129,8 +201,11 @@ def main(argv=None):
                    help="log2 batch sizes (default 14..21, tcnn protocol)")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--timesteps", type=int, default=4)
+    p.add_argument("--tile", type=int, default=1024)
+    p.add_argument("--save", default="")
     args = p.parse_args(argv)
-    run_sweep(args.batches, args.iters, T=args.timesteps)
+    run_sweep(args.batches, args.iters, T=args.timesteps, tile=args.tile,
+              save=args.save or None)
 
 
 if __name__ == "__main__":
