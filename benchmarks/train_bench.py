@@ -61,15 +61,22 @@ def main(argv=None):
         lambda s, k: raw_step(s, base_params, dataset, k, bs),
         in_shardings=(repl, repl),
     )
+    import numpy as np
+
+    def _sync(x):
+        # host transfer: block_until_ready returns at enqueue time on the
+        # tunneled axon backend (bench.py module docstring)
+        return float(np.asarray(jax.device_get(x)))
+
     keys = [jax.random.fold_in(key, i) for i in range(args.iters + 1)]
     jax.block_until_ready(keys)
     state, loss = step(state, keys[0])
-    jax.block_until_ready(loss)
+    _sync(loss)
 
     t0 = time.perf_counter()
     for i in range(args.iters):
         state, loss = step(state, keys[i + 1])  # state chains the iterations
-    jax.block_until_ready(loss)
+    _sync(loss)
     dt = time.perf_counter() - t0
 
     print(json.dumps({

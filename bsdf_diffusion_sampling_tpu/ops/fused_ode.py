@@ -435,7 +435,8 @@ def _compact_epilogue(out, block: int):
     return z.reshape(tile // rows_per_out, rows_per_out, LANES)[:, 0, :]
 
 
-def _disk_ode_loop(x_init, cond, w_ref, *, T, n_layers, tile, col, reverse, mxu):
+def _disk_ode_loop(x_init, cond, w_ref, *, T, n_layers, tile, col, reverse,
+                   mxu):
     """T-step disk-domain Euler transport with the change-of-variables det,
     shared by the sample+pdf and pdf-query kernels. Returns (x_fin, det_fin)
     with x on blockcols 0:2 and the det product on blockcol 0 (other lanes
@@ -464,23 +465,34 @@ def _disk_ode_loop(x_init, cond, w_ref, *, T, n_layers, tile, col, reverse, mxu)
                        jnp.where(is1, 1.0, 0.0).astype(f32)])
     ws = _hoist_weights(w_ref, n_layers, mxu)
 
-    def body(t, carry):
+    def body(t, carry, cond_c):
         s, tang = carry
         tt = t.astype(f32) if hasattr(t, "astype") else float(t)
         alpha = (1.0 - tt * h) if reverse else (tt * h)
         # s stays masked to blockcols 0:2 by construction (x0 is masked at
         # the draw and every update adds exact zeros outside 0:2)
-        inp = s + alpha * is2f + cond
+        inp = s + alpha * is2f + cond_c
         v, tz = _mlp_with_tangents(inp, tang, ws, mxu)
         return s + sign * h * v, tang + sign * h * tz
+
+    # NOTE(r3): an interleaved split-chain variant (2/4 independent
+    # row-chunk chains per tile so Mosaic could overlap one chain's VPU
+    # epilogue with another's matmuls — the serial matmul->silu->matmul
+    # dependency leaves each unit idle otherwise) was implemented and
+    # bit-exact in interpret mode, but the current Mosaic release SIGABRTs
+    # in ApplyVectorLayoutPass (`Check failed: limits[i] <= dim(i)`) on
+    # the restructured dataflow, and every crashed compile takes the
+    # tunneled dev TPU worker down for ~25 min. Removed until the
+    # toolchain can schedule it.
 
     if T <= _UNROLL_T:
         carry = (x_init, tang0)
         for t in range(T):
-            carry = body(t, carry)
+            carry = body(t, carry, cond)
+        s_fin, tang_fin = carry
     else:
-        carry = jax.lax.fori_loop(0, T, body, (x_init, tang0))
-    s_fin, tang_fin = carry
+        s_fin, tang_fin = jax.lax.fori_loop(
+            0, T, lambda t, c: body(t, c, cond), (x_init, tang0))
     return s_fin, _det2_from_tangents(tang_fin)
 
 
