@@ -43,16 +43,16 @@ BSDF = "/root/reference/rendering/measuredbsdfs/chm_mint_rgb.bsdf"
 MATERIAL = "chm_mint_rgb"
 
 
-def _render_timed(scene, mb, *, seed, spp, spp_chunk, max_depth):
+def _render_timed(scene, mb, *, seed, spp, spp_chunk, max_depth, max_rays):
     """(image, seconds). One warm-up pass at spp_chunk compiles every
     program; the timed run then measures steady-state dispatch+compute."""
     from bsdf_diffusion_sampling_tpu.render.integrator import render
 
     render(scene, mb, seed=seed + 99, spp=spp_chunk, spp_chunk=spp_chunk,
-           max_depth=max_depth)  # warm-up: compile + cache programs
+           max_depth=max_depth, max_rays_per_pass=max_rays)  # warm-up
     t0 = time.perf_counter()
     img = render(scene, mb, seed=seed, spp=spp, spp_chunk=spp_chunk,
-                 max_depth=max_depth)
+                 max_depth=max_depth, max_rays_per_pass=max_rays)
     dt = time.perf_counter() - t0  # render() returns numpy => true sync
     return img, dt
 
@@ -64,6 +64,11 @@ def main(argv=None):
     p.add_argument("--spp", type=int, default=64)
     p.add_argument("--spp-chunk", type=int, default=4)
     p.add_argument("--max-depth", type=int, default=4)
+    p.add_argument("--max-rays", type=int, default=1 << 14,
+                   help="wavefront cap per pass-tile. The dev TPU worker "
+                        "crashes on a 2^16-ray GT measured bounce program "
+                        "(round 3 — the round-1 2e5 bisect did not cover "
+                        "the Marginal2D gather program); 2^14 is safe")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="", help="artifact prefix; empty = none")
     p.add_argument("--quick", action="store_true",
@@ -113,7 +118,8 @@ def main(argv=None):
             mb = neural_matball(nb)
         img, dt = _render_timed(scene, mb, seed=args.seed, spp=args.spp,
                                 spp_chunk=args.spp_chunk,
-                                max_depth=args.max_depth)
+                                max_depth=args.max_depth,
+                                max_rays=args.max_rays)
         images[mode] = img
         rays_s = n_rays / dt
         results[mode] = {"seconds": round(dt, 3),
@@ -124,7 +130,7 @@ def main(argv=None):
             "unit": "Mray-samples/s/chip",
             "seconds": round(dt, 3),
             "config": f"{args.width}x{args.height}@{args.spp}spp"
-                      f" depth{args.max_depth}",
+                      f" depth{args.max_depth} rays/pass {args.max_rays}",
             "backend": jax.default_backend(),
         }), flush=True)
 

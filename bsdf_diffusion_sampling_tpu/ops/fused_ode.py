@@ -40,11 +40,14 @@ image bias, SURVEY.md §7 hard part b).
 "bfloat16" runs single-pass bf16 matmuls with fp32 accumulation —
 activations, state, and det products all stay fp32, and the measured pdf
 error vs true fp32 is ~2e-5 median / 4e-5 p99 (v5e, T=4, trained-scale
-weights), far below Monte Carlo render noise at 2.1x the throughput
-(118 vs 56 Meval/s). "float32" forces Precision.HIGHEST for exactness
-validation. Note DEFAULT-precision fp32 dots on TPU are single-pass bf16
-ANYWAY — "float32" here means genuinely fp32-accurate, not "what plain
-jnp.dot does".
+weights), far below Monte Carlo render noise. "float32" forces
+Precision.HIGHEST (multi-pass, genuinely fp32-accurate) for exactness
+validation at a fraction of the throughput — the bf16-vs-fp32 A/B rows
+are recorded in benchmarks/results/ (sweep.py emits an mxu_dtype=float32
+row; round-2's ad-hoc measurement saw ~2.1x in bf16's favor). Note
+DEFAULT-precision fp32 dots on TPU are single-pass bf16 ANYWAY —
+"float32" here means genuinely fp32-accurate, not "what plain jnp.dot
+does".
 """
 
 from __future__ import annotations
