@@ -75,6 +75,15 @@ def main(argv=None):
                    help="256x256 @ 16 spp, no artifacts")
     p.add_argument("--modes", nargs="+", default=["gt", "neural-disk"],
                    choices=["gt", "neural-disk", "neural-spherical"])
+    p.add_argument("--cpu", action="store_true",
+                   help="pin the CPU backend (the axon plugin overrides "
+                        "JAX_PLATFORMS; this uses jax.config, the only "
+                        "working pin). Round-3 state: the BVH traversal "
+                        "program crashes the tunneled dev-TPU worker "
+                        "(component-bisected 2026-08-21: measured "
+                        "eval/pdf/sample all pass on TPU, intersect() "
+                        "faults it), so paper-scale artifacts are "
+                        "produced on CPU until that's root-caused")
     args = p.parse_args(argv)
     if args.quick:
         args.width = args.height = 256
@@ -82,6 +91,9 @@ def main(argv=None):
         args.out = ""
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from bsdf_diffusion_sampling_tpu.bsdf import load_measured
     from bsdf_diffusion_sampling_tpu.core.config import ModelConfig

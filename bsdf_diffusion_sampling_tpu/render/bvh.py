@@ -191,6 +191,7 @@ def intersect(
     )
 
     init = (
+        jnp.int32(0),
         stk,
         ptr,
         t_max_arr,
@@ -200,13 +201,21 @@ def intersect(
     )
 
     rows = jnp.arange(r)
+    # Hard iteration bound: visits per ray are bounded by the stack
+    # discipline (each iteration pops one entry; pushes are capped by
+    # STACK_DEPTH and entry-t culling), so a generous cap never triggers
+    # on a well-formed tree — it exists so a malformed tree or a numeric
+    # edge case degrades to a truncated traversal instead of an unbounded
+    # lockstep loop (the tunneled dev-TPU worker hard-kills on runaway
+    # programs, taking the whole backend down for ~30 min).
+    max_iters = 64 * STACK_DEPTH
 
     def cond(state):
-        _, ptr, *_ = state
-        return jnp.any(ptr > 0)
+        it, _, ptr, *_ = state
+        return jnp.any(ptr > 0) & (it < max_iters)
 
     def body(state):
-        stk, ptr, t_best, prim_best, u_best, v_best = state
+        it, stk, ptr, t_best, prim_best, u_best, v_best = state
         live = ptr > 0
         top = jnp.maximum(ptr - 1, 0)
         ent = stk[rows, top]  # (R, 2) gather
@@ -283,9 +292,9 @@ def intersect(
             stk = stk.at[rows, slot].set(val)
             ptr = jnp.where(h, jnp.minimum(ptr + 1, STACK_DEPTH), ptr)
 
-        return stk, ptr, t_best, prim_best, u_best, v_best
+        return it + 1, stk, ptr, t_best, prim_best, u_best, v_best
 
-    _, _, t, prim, u, v = jax.lax.while_loop(cond, body, init)
+    _, _, _, t, prim, u, v = jax.lax.while_loop(cond, body, init)
     return Hit(t, prim, u, v)
 
 
