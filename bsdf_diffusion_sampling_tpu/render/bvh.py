@@ -179,11 +179,17 @@ def intersect(
     """
     r = ro.shape[0]
     inv_rd = 1.0 / jnp.where(jnp.abs(rd) < 1e-12, jnp.where(rd >= 0, 1e-12, -1e-12), rd)
-    # fused stack: [:, :, 0] = node index (int32 bitcast), [:, :, 1] = entry t.
+    # Two flat per-ray stacks: node indices (int32) and entry-t (f32).
     # Column STACK_DEPTH is write-scratch so every push is one scatter.
-    stk = jnp.zeros((r, STACK_DEPTH + 1, 2), jnp.float32)
+    # (An earlier revision fused both into one (R, D+1, 2) f32 carry with
+    # int32 bitcasts; that shape SILENTLY miscomputes inside while_loop
+    # on the TPU backend — every construct passes in isolation, but the
+    # composite carry returns all-miss traversals and, uncapped, a
+    # runaway loop that kills the worker. Two 2D carries with plain
+    # row-index scatters lower correctly.)
+    node_stk = jnp.zeros((r, STACK_DEPTH + 1), jnp.int32)
+    t_stk = jnp.full((r, STACK_DEPTH + 1), -_INF, jnp.float32)
     t_max_arr = jnp.full((r,), t_max, jnp.float32) if jnp.ndim(t_max) == 0 else t_max
-    stk = stk.at[:, :, 1].set(-_INF)
     ptr = (
         jnp.ones((r,), jnp.int32)
         if active is None
@@ -192,7 +198,8 @@ def intersect(
 
     init = (
         jnp.int32(0),
-        stk,
+        node_stk,
+        t_stk,
         ptr,
         t_max_arr,
         jnp.zeros((r,), jnp.int32),
@@ -211,16 +218,15 @@ def intersect(
     max_iters = 64 * STACK_DEPTH
 
     def cond(state):
-        it, _, ptr, *_ = state
+        it, _, _, ptr, *_ = state
         return jnp.any(ptr > 0) & (it < max_iters)
 
     def body(state):
-        it, stk, ptr, t_best, prim_best, u_best, v_best = state
+        it, node_stk, t_stk, ptr, t_best, prim_best, u_best, v_best = state
         live = ptr > 0
         top = jnp.maximum(ptr - 1, 0)
-        ent = stk[rows, top]  # (R, 2) gather
-        node = jnp.where(live, jax.lax.bitcast_convert_type(ent[:, 0], jnp.int32), 0)
-        t_entry = ent[:, 1]
+        node = jnp.where(live, node_stk[rows, top], 0)
+        t_entry = t_stk[rows, top]
         ptr = jnp.where(live, ptr - 1, ptr)
         # cull stale entries: t_best may have shrunk since the push
         visit = live & (t_entry < t_best)
@@ -286,15 +292,13 @@ def intersect(
         for c, tn, h in ((c_far, t_far, h_far), (c_near, t_near_, h_near)):
             put = h & (ptr < STACK_DEPTH)
             slot = jnp.where(put, ptr, STACK_DEPTH)  # scratch col if no push
-            val = jnp.stack(
-                [jax.lax.bitcast_convert_type(c, jnp.float32), tn], axis=-1
-            )
-            stk = stk.at[rows, slot].set(val)
+            node_stk = node_stk.at[rows, slot].set(c)
+            t_stk = t_stk.at[rows, slot].set(tn)
             ptr = jnp.where(h, jnp.minimum(ptr + 1, STACK_DEPTH), ptr)
 
-        return it + 1, stk, ptr, t_best, prim_best, u_best, v_best
+        return it + 1, node_stk, t_stk, ptr, t_best, prim_best, u_best, v_best
 
-    _, _, _, t, prim, u, v = jax.lax.while_loop(cond, body, init)
+    _, _, _, _, t, prim, u, v = jax.lax.while_loop(cond, body, init)
     return Hit(t, prim, u, v)
 
 
