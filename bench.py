@@ -232,6 +232,21 @@ def main() -> None:
         prod_mevals = n * iters / timed("production") / 1e6
         n_evals = n * iters
 
+    if os.environ.get("BENCH_RENDER", "0") == "1":
+        # optional live rays/s line (BEFORE the headline so the driver's
+        # last-line parse still lands on the kernel metric). Committed
+        # evidence at paper scale lives in benchmarks/results/ and
+        # artifacts/ (benchmarks/render_bench.py produces both).
+        try:
+            from benchmarks.render_bench import main as rb_main
+
+            rb_main(["--width", "128", "--height", "128", "--spp", "4",
+                     "--max-depth", "2", "--max-rays", "16384",
+                     "--modes", "neural-disk"])
+        except Exception as e:  # never let the render kill the headline
+            print(json.dumps({"metric": "render_rays_per_s_neural_disk",
+                              "error": str(e)[:200]}))
+
     mevals = n_evals / dt / 1e6
     roofline = _roofline_mevals(T, n_layers=len(v_params), pack=4)
     line = {
