@@ -210,7 +210,12 @@ def main() -> None:
                 # slices exactly as the render bounce program consumes
                 m = rows.reshape(-1, 8)[:n]
                 acc = jnp.sum(m[:, 2]) + jnp.sum(m[:, 0:2])
-            return (seed + 1 + (acc > -1e30).astype(jnp.int32) * 0), acc
+            # the +1 increment rides ON the kernel result (acc > -1e30 is
+            # always 1), so next_seed has a true data dependency on this
+            # iteration's kernel — the serialization the docstring promises
+            # (ADVICE r3: the previous `* 0` form constant-folded the
+            # dependency away)
+            return (seed + (acc > -1e30).astype(jnp.int32)), acc
 
         def _lane_mask(shape):
             lane = jnp.arange(shape[-1]) % 8

@@ -100,7 +100,9 @@ def run_sweep(batches, iters, T=4, tile=1024, save=None):
             use_prng=True, compact=True, mxu_dtype=mxu_dtype)
         m = rows.reshape(-1, 8)[:n]
         acc = jnp.sum(m[:, 2]) + jnp.sum(m[:, 0:2])
-        return seed + 1 + (acc > -1e30).astype(jnp.int32) * 0, acc
+        # seed rides on the kernel result (always +1) so each
+        # iteration truly depends on the previous (ADVICE r3)
+        return seed + (acc > -1e30).astype(jnp.int32), acc
 
     results = []
     for log2n in batches:

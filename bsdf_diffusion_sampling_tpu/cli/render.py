@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="out/render")
+    p.add_argument("--allow-substitute", action="store_true",
+                   help="substitute chm_mint_rgb for matballs whose .bsdf "
+                        "file is not shipped (upstream names aniso_* "
+                        "materials with no data file). Substitutions are "
+                        "recorded in <out>.meta.json so the image cannot be "
+                        "mistaken for the named material (ADVICE r3). "
+                        "Without the flag, a missing file is an error.")
     return p
 
 
@@ -101,8 +108,10 @@ def _load_neural_params(ball, domain, args):
     return params
 
 
-def build_matball(ball: dict, args):
-    """One MatballFns for one mybsdf hook (gt or neural)."""
+def build_matball(ball: dict, args, substitutions: list | None = None):
+    """One MatballFns for one mybsdf hook (gt or neural). Missing .bsdf
+    files are an error unless --allow-substitute; allowed substitutions are
+    appended to `substitutions` for the output metadata."""
     from bsdf_diffusion_sampling_tpu.bsdf import load_measured
     from bsdf_diffusion_sampling_tpu.render.integrator import (
         measured_matball,
@@ -121,12 +130,20 @@ def build_matball(ball: dict, args):
         path = os.path.join(args.bsdf_dir, ball["filename"] + ".bsdf")
         if not os.path.exists(path):
             # upstream ships only 14 of the RGL data files; array0/1 name
-            # aniso_* materials with no .bsdf on disk. Substitute chm_mint
-            # (same fallback as tests/test_render_array_scenes.py:66-75)
-            # rather than crashing mid-scene with FileNotFoundError.
+            # aniso_* materials with no .bsdf on disk.
+            if not getattr(args, "allow_substitute", False):
+                raise FileNotFoundError(
+                    f"{path} is not shipped upstream; rerun with "
+                    "--allow-substitute to render chm_mint_rgb in its "
+                    "place (recorded in <out>.meta.json)"
+                )
             sub = os.path.join(args.bsdf_dir, "chm_mint_rgb.bsdf")
             print(f"warning: {path} not shipped upstream; "
                   f"substituting chm_mint_rgb for ball {ball['filename']!r}")
+            if substitutions is not None:
+                substitutions.append(
+                    {"ball": ball["filename"], "substituted": "chm_mint_rgb"}
+                )
             path = sub
         brdf = load_measured(path)
 
@@ -157,7 +174,8 @@ def main(argv=None):
         # (the reference renders scene_measured.xml per material,
         # `brdf_measured_disk.py:26-29,133`)
         balls[0]["filename"] = args.material
-    mb = tuple(build_matball(b, args) for b in balls)
+    substitutions: list = []
+    mb = tuple(build_matball(b, args, substitutions) for b in balls)
 
     t0 = time.perf_counter()
     img = render(scene, mb, seed=args.seed, spp=args.spp,
@@ -173,6 +191,14 @@ def main(argv=None):
 
     write_exr(args.out + ".exr", img)
     Image.fromarray((tonemap_srgb(img) * 255).astype(np.uint8)).save(args.out + ".png")
+    if substitutions:
+        import json
+
+        with open(args.out + ".meta.json", "w") as f:
+            json.dump({"material_substitutions": substitutions,
+                       "mode": args.mode, "material": args.material}, f,
+                      indent=1)
+        print(f"wrote {args.out}.meta.json (material substitutions)")
     print(f"wrote {args.out}.exr / .png")
 
 

@@ -145,6 +145,11 @@ class Hit(NamedTuple):
     prim: jnp.ndarray  # (R,) primitive index (reordered space)
     u: jnp.ndarray  # (R,) barycentric
     v: jnp.ndarray
+    # scalar bool: True iff the traversal hit its iteration cap with rays
+    # still live — results for those rays are partial (possible false
+    # miss). Surfaced so a silently biased render is detectable (ADVICE
+    # r3); render_bench asserts it stays False on the shipped scenes.
+    truncated: jnp.ndarray = jnp.asarray(False)
 
 
 def _slab_rows(lo, hi, ro, inv_rd, t_best):
@@ -208,13 +213,17 @@ def intersect(
     )
 
     rows = jnp.arange(r)
-    # Hard iteration bound: visits per ray are bounded by the stack
-    # discipline (each iteration pops one entry; pushes are capped by
-    # STACK_DEPTH and entry-t culling), so a generous cap never triggers
-    # on a well-formed tree — it exists so a malformed tree or a numeric
-    # edge case degrades to a truncated traversal instead of an unbounded
-    # lockstep loop (the tunneled dev-TPU worker hard-kills on runaway
-    # programs, taking the whole backend down for ~30 min).
+    # Iteration cap. This is a SAFETY VALVE, not a bound: lockstep
+    # iterations track the worst ray's total node visits, which is
+    # scene-dependent and not bounded by the stack discipline (each pop
+    # can push two more entries; entry-t culling prunes most but
+    # guarantees nothing). On the shipped matpreview scenes the worst ray
+    # finishes in a few hundred iterations, far under the cap; if the cap
+    # DOES trigger, the still-live rays return partial results (possible
+    # false miss), which the `truncated` output flag surfaces instead of
+    # silently biasing the render. The cap exists because the tunneled
+    # dev-TPU worker hard-kills on runaway programs, taking the whole
+    # backend down for ~30 min.
     max_iters = 64 * STACK_DEPTH
 
     def cond(state):
@@ -298,8 +307,9 @@ def intersect(
 
         return it + 1, node_stk, t_stk, ptr, t_best, prim_best, u_best, v_best
 
-    _, _, _, _, t, prim, u, v = jax.lax.while_loop(cond, body, init)
-    return Hit(t, prim, u, v)
+    it_fin, _, _, ptr_fin, t, prim, u, v = jax.lax.while_loop(cond, body, init)
+    truncated = (it_fin >= max_iters) & jnp.any(ptr_fin > 0)
+    return Hit(t, prim, u, v, truncated)
 
 
 def occluded(bvh: BVHArrays, ro: jnp.ndarray, rd: jnp.ndarray,

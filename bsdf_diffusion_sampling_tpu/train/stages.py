@@ -220,11 +220,23 @@ def run_stage(
                 log_fn(f"[{name}] step {p_it}/{iters} loss {float(p_loss):.6g}"
                        f" ({rate:.1f} it/s)")
             pending = (it, loss)
+        # periodic mid-stage save INSIDE the loop (independent of the
+        # logging branch): a stage killed mid-run resumes at the last
+        # saved step, not the stage start. Saved step counts COMPLETED
+        # iterations (it+1), matching the end-of-stage save's `iters` and
+        # the `range(start, iters)` resume semantics exactly — no step is
+        # replayed. device_get syncs the pipeline, so the save cadence is
+        # also the only pipeline flush when log_every == 0.
+        if (
+            checkpoint_path
+            and save_every
+            and (it + 1) % save_every == 0
+            and it + 1 < iters  # the end-of-stage save covers the final step
+        ):
+            ckpt.save_pytree(checkpoint_path, jax.device_get(state), step=it + 1)
     if pending is not None:
         log_fn(f"[{name}] step {pending[0]}/{iters} loss "
                f"{float(pending[1]):.6g}")
-        if checkpoint_path and save_every and it % save_every == 0 and it > start:
-            ckpt.save_pytree(checkpoint_path, jax.device_get(state), step=it)
     if checkpoint_path:
         ckpt.save_pytree(checkpoint_path, jax.device_get(state), step=iters)
     return state

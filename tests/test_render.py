@@ -93,6 +93,7 @@ def tiny_scene():
     return load_scene(SCENE, width=48, height=48)
 
 
+@pytest.mark.slow
 def test_gt_render_smoke(tiny_scene):
     brdf = load_measured(BSDF)
     mb = measured_matball(brdf)

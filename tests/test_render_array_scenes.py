@@ -77,6 +77,7 @@ def _measured_matballs(desc):
     return tuple(mbs)
 
 
+@pytest.mark.slow
 def test_array_pointlight_render_smoke(array_pointlight_scene):
     """Point-light NEE through the 12-ball wavefront: finite, lit, and the
     checkerboard plane shows the 1/r^2 falloff (no envmap => everything
@@ -91,6 +92,7 @@ def test_array_pointlight_render_smoke(array_pointlight_scene):
     assert (img.max(axis=-1) == 0).any()
 
 
+@pytest.mark.slow
 def test_array_envmap_render_smoke():
     """array2: 12 principled-table balls + envmap, full-sphere GT mode."""
     sc = load_scene(f"{MATPREVIEW}/disney_bsdf_array2_spherical_envmap.xml",

@@ -141,6 +141,7 @@ def tiny_scene():
 
 
 @pytest.mark.parametrize("domain", ["disk", "spherical"])
+@pytest.mark.slow
 def test_neural_render_vs_gt(domain, tiny_scene, disk_ckpt, spherical_ckpt,
                              brdf):
     """End-to-end: neural matball -> render(), against the GT measured

@@ -6,6 +6,7 @@ layout, not math — and must actually distribute the wavefront.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,6 +19,7 @@ SCENE = "/root/reference/rendering/matpreview/scene_measured.xml"
 BSDF = "/root/reference/rendering/measuredbsdfs/chm_mint_rgb.bsdf"
 
 
+@pytest.mark.slow
 def test_sharded_render_matches_single(key):
     scene = load_scene(SCENE, width=32, height=32)
     mb = measured_matball(load_measured(BSDF))

@@ -107,6 +107,7 @@ def test_pdf_query_consistency_exact_vs_reverse(domain, material, key):
     assert np.median(rel_ex) < np.median(rel_rev) / 100
 
 
+@pytest.mark.slow
 def test_array_envmap_neural_sphere_render_vs_gt():
     """The bsdf_myresult.py deliverable: the transmissive 12-ball array2
     scene rendered through the NEURAL full-sphere sampler (imported

@@ -47,6 +47,7 @@ def trained():
     return params, model_cfg, dataset
 
 
+@pytest.mark.slow
 def test_pretrain_learns_coarse_density(trained):
     """Base density should place omega_o samples inside the disk with the
     right coarse spread."""
@@ -58,6 +59,7 @@ def test_pretrain_learns_coarse_density(trained):
     assert frac_in > 0.8
 
 
+@pytest.mark.slow
 def test_trained_sampler_matches_target_moments(trained):
     """After diffusion training, ODE samples must mirror the specular lobe:
     E[omega_o | omega_i] anti-correlates with omega_i, and samples land in
@@ -75,6 +77,7 @@ def test_trained_sampler_matches_target_moments(trained):
     assert np.isfinite(np.asarray(pdf)).all() and (np.asarray(pdf) > 0).all()
 
 
+@pytest.mark.slow
 def test_trained_sample_pdf_consistency(trained):
     """Forward-sampling pdf vs reverse-query pdf on a TRAINED net. The
     finite-T Euler discretization makes the two differ by O(1/T^2) scaled
@@ -97,6 +100,7 @@ def test_trained_sample_pdf_consistency(trained):
     assert g64 < 0.1, g64
 
 
+@pytest.mark.slow
 def test_rectified_sampler_close_at_one_step(trained):
     """Rectification straightens trajectories: the T=1 rectified map should
     land near the T=8 teacher map in distribution (compare means/covs)."""
@@ -112,6 +116,7 @@ def test_rectified_sampler_close_at_one_step(trained):
     np.testing.assert_allclose(mr, mt, atol=0.15)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, trained):
     params, _, _ = trained
     path = str(tmp_path / "ck.npz")
@@ -120,3 +125,70 @@ def test_checkpoint_roundtrip(tmp_path, trained):
     assert step == 123
     for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(params["diffusion"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_midstage_crash_resumes_at_saved_step(tmp_path):
+    """Kill a stage mid-run and resume: the restart must pick up at the
+    last periodic save (not step 0) and finish with params bit-identical
+    to an uninterrupted run — the exact-step-resume contract of
+    train/stages.py (ADVICE r3 high: the periodic save had drifted out of
+    the loop, silently breaking crash-resume)."""
+    import optax
+
+    from bsdf_diffusion_sampling_tpu.parallel import make_mesh
+    from bsdf_diffusion_sampling_tpu.train.stages import TrainState, run_stage
+
+    mesh = make_mesh(8)
+    tx = optax.sgd(0.1)
+    params0 = {"w": jnp.ones((4,), jnp.float32)}
+
+    def fresh_state():
+        return TrainState(params=params0,
+                          opt_state=tx.init(params0),
+                          step=jnp.asarray(0, jnp.int32))
+
+    @jax.jit
+    def _update(state, key):
+        g = {"w": jax.random.normal(key, (4,))}
+        updates, new_opt = tx.update(g, state.opt_state, state.params)
+        return TrainState(optax.apply_updates(state.params, updates),
+                          new_opt, state.step + 1)
+
+    def make_step(crash_at=None):
+        def step_call(state, key, it):
+            if crash_at is not None and it == crash_at:
+                raise RuntimeError("simulated crash")
+            state = _update(state, key)
+            return state, jnp.float32(it)
+        return step_call
+
+    key = jax.random.key(11)
+    iters, save_every = 23, 5
+    path = str(tmp_path / "stage.npz")
+
+    # uninterrupted oracle (no checkpointing)
+    oracle = run_stage(name="oracle", mesh=mesh, state=fresh_state(),
+                       step_call=make_step(), iters=iters, key=key,
+                       checkpoint_path=None, log_every=0,
+                       log_fn=lambda s: None)
+
+    # crashed run: dies at it == 17 -> last periodic save is step 15
+    with pytest.raises(RuntimeError):
+        run_stage(name="crashy", mesh=mesh, state=fresh_state(),
+                  step_call=make_step(crash_at=17), iters=iters, key=key,
+                  checkpoint_path=path, save_every=save_every, log_every=0,
+                  log_fn=lambda s: None)
+    assert ckpt.latest_step(path) == 15
+
+    # resume: must restart at 15 (never replaying or skipping a step) and
+    # converge to the oracle exactly (fold_in(key, it) makes steps
+    # deterministic in it)
+    logs = []
+    resumed = run_stage(name="resume", mesh=mesh, state=fresh_state(),
+                        step_call=make_step(), iters=iters, key=key,
+                        checkpoint_path=path, save_every=save_every,
+                        log_every=0, log_fn=logs.append)
+    assert any("resumed at step 15" in s for s in logs), logs
+    np.testing.assert_array_equal(np.asarray(resumed.params["w"]),
+                                  np.asarray(oracle.params["w"]))
+    assert ckpt.latest_step(path) == iters

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # training fixtures: minutes on CPU
+
 from bsdf_diffusion_sampling_tpu.bsdf import ggx_shading_spherical
 from bsdf_diffusion_sampling_tpu.core.config import ModelConfig, TrainConfig
 from bsdf_diffusion_sampling_tpu.data import generate_brdf_dataset
