@@ -145,11 +145,14 @@ class Hit(NamedTuple):
     prim: jnp.ndarray  # (R,) primitive index (reordered space)
     u: jnp.ndarray  # (R,) barycentric
     v: jnp.ndarray
-    # scalar bool: True iff the traversal hit its iteration cap with rays
-    # still live — results for those rays are partial (possible false
-    # miss). Surfaced so a silently biased render is detectable (ADVICE
-    # r3); render_bench asserts it stays False on the shipped scenes.
-    truncated: jnp.ndarray = jnp.asarray(False)
+    # scalar bool (Python or traced): True iff the traversal hit its
+    # iteration cap with rays still live — results for those rays are
+    # partial (possible false miss). Surfaced so a silently biased render
+    # is detectable (ADVICE r3); render_bench asserts it stays False on
+    # the shipped scenes. Default is a PYTHON bool — a jnp default here
+    # would initialize the JAX backend at import time, breaking the
+    # init_distributed()-before-any-JAX-API contract (see render/scene.py).
+    truncated: object = False
 
 
 def _slab_rows(lo, hi, ro, inv_rd, t_best):

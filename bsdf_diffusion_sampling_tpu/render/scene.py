@@ -94,6 +94,9 @@ class Scene(NamedTuple):
     envmap: EnvMap
     camera: Camera
     desc: SceneDesc
+    # 8-wide collapsed BVH for the Pallas packet-traversal kernel
+    # (render/bvh8.py); None when build_scene(wide=False)
+    bvh8: object = None
     # numpy default: a class-body jnp op would initialize the JAX backend at
     # import time, breaking the init_distributed()-before-any-JAX-API contract
     # (parallel/distributed.py). Converted to a device array on first use.
@@ -301,7 +304,7 @@ def parse_scene_xml(path: str, spp: Optional[int] = None,
     )
 
 
-def build_scene(desc: SceneDesc) -> Scene:
+def build_scene(desc: SceneDesc, wide: bool = True) -> Scene:
     meshes, mats = [], []
     for sh in desc.shapes:
         mesh = load_serialized(sh["filename"], sh["shape_index"])
@@ -309,14 +312,19 @@ def build_scene(desc: SceneDesc) -> Scene:
         mats.append(sh["material"])
     soup = build_soup(meshes, mats)
     bvh = build_bvh(soup)
+    bvh8 = None
+    if wide:
+        from bsdf_diffusion_sampling_tpu.render.bvh8 import build_bvh8
+
+        bvh8 = build_bvh8(soup)
     if desc.envmap_path:
         env = load_envmap(desc.envmap_path, desc.envmap_to_world,
                           desc.envmap_scale)
     else:
         env = black_envmap()
     return Scene(bvh=bvh, envmap=env, camera=desc.camera, desc=desc,
-                 lights=jnp.asarray(desc.point_lights))
+                 lights=jnp.asarray(desc.point_lights), bvh8=bvh8)
 
 
-def load_scene(path: str, **overrides) -> Scene:
-    return build_scene(parse_scene_xml(path, **overrides))
+def load_scene(path: str, wide: bool = True, **overrides) -> Scene:
+    return build_scene(parse_scene_xml(path, **overrides), wide=wide)
