@@ -64,11 +64,11 @@ def main(argv=None):
     p.add_argument("--spp", type=int, default=64)
     p.add_argument("--spp-chunk", type=int, default=4)
     p.add_argument("--max-depth", type=int, default=4)
-    p.add_argument("--max-rays", type=int, default=1 << 14,
-                   help="wavefront cap per pass-tile. The dev TPU worker "
-                        "crashes on a 2^16-ray GT measured bounce program "
-                        "(round 3 — the round-1 2e5 bisect did not cover "
-                        "the Marginal2D gather program); 2^14 is safe")
+    p.add_argument("--max-rays", type=int, default=1 << 16,
+                   help="wavefront cap per pass-tile. r04: the packet "
+                        "traversal kernel runs 2^16-ray wavefronts "
+                        "routinely (the r03 lockstep-BVH worker crashes "
+                        "are gone with that code path)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="", help="artifact prefix; empty = none")
     p.add_argument("--quick", action="store_true",

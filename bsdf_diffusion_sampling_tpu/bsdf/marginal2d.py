@@ -132,9 +132,201 @@ def _row_density(warp, p0, p1, wp, k):
     return (1 - wp) * warp.cond_cdf[p0, k, last] + wp * warp.cond_cdf[p1, k, last]
 
 
+# --------------------------------------------------------- row fast path
+#
+# TPU gathers are ROW-count bound (~9 ns per gathered row on v5e,
+# measured r04, independent of row width up to 128 lanes). The generic
+# path above does O(log W) scalar gathers per binary-search probe —
+# ~60-80 gathered rows per warp_sample call, ~40 ms per 64k-ray wavefront.
+# When a table's rows fit the 128-lane vector width, the same math runs as:
+#   - slice (theta) interpolation as a (N, P) x (P, H) matmul — zero
+#     gathers (P is 8 for RGL files);
+#   - ONE row gather per (slice, row) site; cell search by counting
+#     cdf <= target across the in-register row (pure VPU);
+#   - lane extraction by one-hot select (VPU).
+# => 8 gathered rows per warp_sample (~5 ms/64k), bit-compatible blending.
+
+_FAST_MAX = 128  # rows (W) and marginal length (H) must fit vector lanes
+_FAST_MAX_P = 16  # slice-blend matmul width
+
+
+def _fast_ok(warp: Warp2D) -> bool:
+    H, W = warp.res
+    return W <= _FAST_MAX and H <= _FAST_MAX and warp.params.shape[0] <= _FAST_MAX_P
+
+
+def _pblend(warp: Warp2D, theta):
+    """Slice-interpolation weight matrix (..., P): (1-w) at p0, w at p1."""
+    p0, p1, wp = _param_weight(warp, theta)
+    P = warp.params.shape[0]
+    pid = jnp.arange(P, dtype=jnp.int32)
+    w = jnp.where(pid == p0[..., None], (1.0 - wp)[..., None], 0.0)
+    if P > 1:
+        w = w + jnp.where(pid == p1[..., None], wp[..., None], 0.0)
+    return w, p0, p1, wp
+
+
+def _count_cells(cdf_rows, target, n: int):
+    """Largest cell i in [0, n-2] with cdf_rows[..., i] <= target: a lane
+    count over the in-register row (cdf[..., 0] == 0 <= target always)."""
+    j = jnp.sum((cdf_rows[..., :n] <= target[..., None]).astype(jnp.int32),
+                axis=-1) - 1
+    return jnp.clip(j, 0, n - 2)
+
+
+def _sel(rows, j):
+    """One-hot lane select rows[..., j] — predictable VPU cost, no gather."""
+    W = rows.shape[-1]
+    lane = jnp.arange(W, dtype=jnp.int32)
+    return jnp.sum(jnp.where(lane == j[..., None], rows, 0.0), axis=-1)
+
+
+def _gather_rows(table3, p, k):
+    """(P, H, W)[p, k] -> (..., W): ONE row gather via flat indexing."""
+    P, H, W = table3.shape
+    return table3.reshape(P * H, W)[p * H + k]
+
+
+def _blend_rows(table3, p0, p1, wp_n, k, k1, t_n):
+    """Bilinear (slice, row) blend of table rows: 4 row gathers."""
+    b0 = _gather_rows(table3, p0, k)
+    t0 = _gather_rows(table3, p0, k1)
+    if table3.shape[0] > 1:
+        b0 = (1.0 - wp_n) * b0 + wp_n * _gather_rows(table3, p1, k)
+        t0 = (1.0 - wp_n) * t0 + wp_n * _gather_rows(table3, p1, k1)
+    return (1.0 - t_n) * b0 + t_n * t0
+
+
+def _warp_sample_fast(warp: Warp2D, u: jnp.ndarray, theta: jnp.ndarray):
+    H, W = warp.res
+    dx, dy = 1.0 / (W - 1), 1.0 / (H - 1)
+    u1, u2 = u[..., 0], u[..., 1]
+    wmat, p0, p1, wp = _pblend(warp, theta)
+
+    marg_rows = jnp.einsum("...p,ph->...h", wmat, warp.marg_cdf)
+    rt_rows = jnp.einsum("...p,ph->...h", wmat, warp.cond_cdf[..., -1])
+    k = _count_cells(marg_rows, u2, H)
+    m0 = _sel(rt_rows, k)
+    m1 = _sel(rt_rows, k + 1)
+    t = _invert_linear_cdf(_sel(marg_rows, k), m0, m1, dy, u2)
+    y = (k.astype(u2.dtype) + t) * dy
+
+    row_total = (1 - t) * m0 + t * m1
+    target = u1 * row_total
+    wp_n, t_n = wp[..., None], t[..., None]
+    cond_rows = _blend_rows(warp.cond_cdf, p0, p1, wp_n, k, k + 1, t_n)
+    j = _count_cells(cond_rows, target, W)
+    dens_rows = _blend_rows(warp.density, p0, p1, wp_n, k, k + 1, t_n)
+    d0 = _sel(dens_rows, j)
+    d1 = _sel(dens_rows, j + 1)
+    s = _invert_linear_cdf(_sel(cond_rows, j), d0, d1, dx, target)
+    x = (j.astype(u1.dtype) + s) * dx
+
+    pdf = (1 - s) * d0 + s * d1
+    return jnp.stack([x, y], axis=-1), pdf
+
+
+def _warp_invert_fast(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray):
+    H, W = warp.res
+    dx, dy = 1.0 / (W - 1), 1.0 / (H - 1)
+    x, y = pos[..., 0], pos[..., 1]
+    wmat, p0, p1, wp = _pblend(warp, theta)
+
+    yk = jnp.clip(y * (H - 1), 0.0, H - 1 - 1e-6)
+    k = yk.astype(jnp.int32)
+    t = yk - k.astype(yk.dtype)
+    marg_rows = jnp.einsum("...p,ph->...h", wmat, warp.marg_cdf)
+    rt_rows = jnp.einsum("...p,ph->...h", wmat, warp.cond_cdf[..., -1])
+    m0 = _sel(rt_rows, k)
+    m1 = _sel(rt_rows, k + 1)
+    u2 = _eval_linear_cdf(_sel(marg_rows, k), m0, m1, dy, t)
+
+    xj = jnp.clip(x * (W - 1), 0.0, W - 1 - 1e-6)
+    j = xj.astype(jnp.int32)
+    s = xj - j.astype(xj.dtype)
+    wp_n, t_n = wp[..., None], t[..., None]
+    cond_rows = _blend_rows(warp.cond_cdf, p0, p1, wp_n, k, k + 1, t_n)
+    dens_rows = _blend_rows(warp.density, p0, p1, wp_n, k, k + 1, t_n)
+    d0 = _sel(dens_rows, j)
+    d1 = _sel(dens_rows, j + 1)
+    cx = _eval_linear_cdf(_sel(cond_rows, j), d0, d1, dx, s)
+    row_total = (1 - t) * m0 + t * m1
+    u1 = cx / jnp.maximum(row_total, 1e-20)
+
+    pdf = (1 - s) * d0 + s * d1
+    return jnp.stack([u1, u2], axis=-1), pdf
+
+
+def _warp_eval_fast(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray):
+    H, W = warp.res
+    x, y = pos[..., 0], pos[..., 1]
+    _, p0, p1, wp = _pblend(warp, theta)
+    yk = jnp.clip(y * (H - 1), 0.0, H - 1 - 1e-6)
+    k = yk.astype(jnp.int32)
+    t = yk - k.astype(yk.dtype)
+    xj = jnp.clip(x * (W - 1), 0.0, W - 1 - 1e-6)
+    j = xj.astype(jnp.int32)
+    s = xj - j.astype(xj.dtype)
+    dens_rows = _blend_rows(warp.density, p0, p1, wp[..., None], k, k + 1,
+                            t[..., None])
+    d0 = _sel(dens_rows, j)
+    d1 = _sel(dens_rows, j + 1)
+    return (1 - s) * d0 + s * d1
+
+
+_WIDE1_MAX = 1024
+
+
+def _wide1_ok(warp: Warp2D) -> bool:
+    H, W = warp.res
+    return (
+        warp.params.shape[0] == 1 and H <= _WIDE1_MAX and W <= _WIDE1_MAX
+    )
+
+
+def _warp_sample_wide1(warp: Warp2D, u: jnp.ndarray):
+    """Single-slice (P == 1) variant for tables too wide for the row fast
+    path — the envmap's 256 x 512 luminance warp. The marginal CDF (H
+    values) broadcasts to the whole wavefront (compare-count + one-hot
+    select, zero gathers); the conditional needs 2 wide row gathers for
+    the CDF rows and 2 for the density rows."""
+    H, W = warp.res
+    dx, dy = 1.0 / (W - 1), 1.0 / (H - 1)
+    u1, u2 = u[..., 0], u[..., 1]
+    marg = warp.marg_cdf[0]  # (H,) broadcast
+    rt = warp.cond_cdf[0, :, -1]  # (H,)
+
+    # (1, H) rows broadcast against (N, 1) targets inside the helpers
+    k = _count_cells(marg[None, :], u2, H)
+    m0 = _sel(rt[None, :], k)
+    m1 = _sel(rt[None, :], k + 1)
+    c0 = _sel(marg[None, :], k)
+    t = _invert_linear_cdf(c0, m0, m1, dy, u2)
+    y = (k.astype(u2.dtype) + t) * dy
+
+    row_total = (1 - t) * m0 + t * m1
+    target = u1 * row_total
+    t_n = t[..., None]
+    cond = warp.cond_cdf[0]  # (H, W)
+    dens = warp.density[0]
+    cond_rows = (1 - t_n) * cond[k] + t_n * cond[k + 1]  # 2 row gathers
+    j = _count_cells(cond_rows, target, W)
+    dens_rows = (1 - t_n) * dens[k] + t_n * dens[k + 1]  # 2 row gathers
+    d0 = _sel(dens_rows, j)
+    d1 = _sel(dens_rows, j + 1)
+    s = _invert_linear_cdf(_sel(cond_rows, j), d0, d1, dx, target)
+    x = (j.astype(u1.dtype) + s) * dx
+    pdf = (1 - s) * d0 + s * d1
+    return jnp.stack([x, y], axis=-1), pdf
+
+
 def warp_sample(warp: Warp2D, u: jnp.ndarray, theta: jnp.ndarray):
     """u: (..., 2) uniforms; theta: (...,) parameter. Returns ((..., 2) pos,
     (...,) density at pos)."""
+    if _fast_ok(warp):
+        return _warp_sample_fast(warp, u, theta)
+    if _wide1_ok(warp):
+        return _warp_sample_wide1(warp, u)
     H, W = warp.res
     dx, dy = 1.0 / (W - 1), 1.0 / (H - 1)
     u1, u2 = u[..., 0], u[..., 1]
@@ -162,6 +354,8 @@ def warp_sample(warp: Warp2D, u: jnp.ndarray, theta: jnp.ndarray):
 
 def warp_invert(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray):
     """Exact inverse of warp_sample: (pos, theta) -> ((..., 2) u, density)."""
+    if _fast_ok(warp):
+        return _warp_invert_fast(warp, pos, theta)
     H, W = warp.res
     dx, dy = 1.0 / (W - 1), 1.0 / (H - 1)
     x, y = pos[..., 0], pos[..., 1]
@@ -187,8 +381,29 @@ def warp_invert(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray):
     return jnp.stack([u1, u2], axis=-1), pdf
 
 
+def _warp_eval_wide1(warp: Warp2D, pos: jnp.ndarray):
+    """P == 1 wide-table density eval: 2 row gathers + lane selects."""
+    H, W = warp.res
+    x, y = pos[..., 0], pos[..., 1]
+    yk = jnp.clip(y * (H - 1), 0.0, H - 1 - 1e-6)
+    k = yk.astype(jnp.int32)
+    t = yk - k.astype(yk.dtype)
+    xj = jnp.clip(x * (W - 1), 0.0, W - 1 - 1e-6)
+    j = xj.astype(jnp.int32)
+    s = xj - j.astype(xj.dtype)
+    dens = warp.density[0]
+    dens_rows = (1 - t[..., None]) * dens[k] + t[..., None] * dens[k + 1]
+    d0 = _sel(dens_rows, j)
+    d1 = _sel(dens_rows, j + 1)
+    return (1 - s) * d0 + s * d1
+
+
 def warp_eval(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray):
     """Normalized density at pos (unit-square measure)."""
+    if _fast_ok(warp):
+        return _warp_eval_fast(warp, pos, theta)
+    if _wide1_ok(warp):
+        return _warp_eval_wide1(warp, pos)
     H, W = warp.res
     x, y = pos[..., 0], pos[..., 1]
     p0, p1, wp = _param_weight(warp, theta)

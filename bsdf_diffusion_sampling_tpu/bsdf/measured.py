@@ -83,6 +83,12 @@ class MeasuredBRDF(NamedTuple):
     vndf: Warp2D
     luminance: Warp2D
     rgb: jnp.ndarray  # (T, 3, h, w)
+    # channel-packed rgb rows, (T, h, 3*w): row y of slice t holds the
+    # R/G/B rows back to back (lane c*w + x) when 3*w <= 128 — ONE row
+    # gather then serves all three channels' bilinear corners (TPU gathers
+    # are row-count bound, ~9 ns/row on v5e regardless of width). None
+    # when the rows don't fit (falls back to per-channel lookups).
+    rgb_rows: jnp.ndarray | None = None
     name: str = ""
 
 
@@ -96,19 +102,39 @@ def load_measured(path: str) -> MeasuredBRDF:
         )
     vndf = build_warp2d(np.asarray(tf["vndf"])[0], theta_i)
     lum = build_warp2d(np.asarray(tf["luminance"])[0], theta_i)
+    rgb = np.asarray(tf["rgb"], np.float32)[0]  # (T, 3, h, w)
+    t_, _, h_, w_ = rgb.shape
+    rgb_rows = (
+        jnp.asarray(np.transpose(rgb, (0, 2, 1, 3)).reshape(t_, h_, 3 * w_))
+        if 3 * w_ <= 128
+        else None
+    )
     return MeasuredBRDF(
         theta_i_grid=jnp.asarray(theta_i),
         sigma=jnp.asarray(np.asarray(tf["sigma"], np.float32)),
         ndf=jnp.asarray(np.asarray(tf["ndf"], np.float32)),
         vndf=vndf,
         luminance=lum,
-        rgb=jnp.asarray(np.asarray(tf["rgb"], np.float32)[0]),
+        rgb=jnp.asarray(rgb),
+        rgb_rows=rgb_rows,
         name=path.rsplit("/", 1)[-1].removesuffix(".bsdf"),
     )
 
 
+def _sel_lane(row, j):
+    """One-hot lane select row[..., j] — no gather (TPU gathers are
+    row-count bound; a (2, 128) table's rows broadcast for free)."""
+    W = row.shape[-1]
+    lane = jnp.arange(W, dtype=jnp.int32)
+    return jnp.sum(jnp.where(lane == j[..., None], row, 0.0), axis=-1)
+
+
 def _lookup_2d(table: jnp.ndarray, u_x, u_y):
-    """Bilinear lookup of a (Hy, Wx) vertex table at unit coords."""
+    """Bilinear lookup of a (Hy, Wx) vertex table at unit coords.
+
+    The ndf/sigma tables are (2, <=128): both rows broadcast to the whole
+    wavefront and corners come from one-hot lane selects — zero gathers.
+    Larger tables fall back to corner gathers."""
     Hy, Wx = table.shape
     xf = jnp.clip(u_x * (Wx - 1), 0.0, Wx - 1 - 1e-6)
     yf = jnp.clip(u_y * (Hy - 1), 0.0, Hy - 1 - 1e-6)
@@ -116,10 +142,17 @@ def _lookup_2d(table: jnp.ndarray, u_x, u_y):
     y0 = yf.astype(jnp.int32)
     fx = xf - x0
     fy = yf - y0
-    v00 = table[y0, x0]
-    v01 = table[y0, x0 + 1]
-    v10 = table[y0 + 1, x0]
-    v11 = table[y0 + 1, x0 + 1]
+    if Hy == 2 and Wx <= 128:
+        r0, r1 = table[0], table[1]
+        v00 = _sel_lane(r0, x0)
+        v01 = _sel_lane(r0, x0 + 1)
+        v10 = _sel_lane(r1, x0)
+        v11 = _sel_lane(r1, x0 + 1)
+    else:
+        v00 = table[y0, x0]
+        v01 = table[y0, x0 + 1]
+        v10 = table[y0 + 1, x0]
+        v11 = table[y0 + 1, x0 + 1]
     return (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)
@@ -129,12 +162,53 @@ def _lookup_2d(table: jnp.ndarray, u_x, u_y):
 
 
 def _rgb_lookup(brdf: MeasuredBRDF, s: jnp.ndarray, theta_i):
-    """(N, 3) rgb table value at unit-square s, interpolated over theta_i."""
+    """(N, 3) rgb table value at unit-square s, interpolated over theta_i.
+
+    Channel-packed path: 4 row gathers total (two theta_i slices x two y
+    rows, each row holding all three channels) instead of 24 scalar
+    gathers — the corners come from lane selects on the gathered rows."""
     grid = brdf.theta_i_grid
     idx = jnp.clip(jnp.searchsorted(grid, theta_i, side="right") - 1, 0, grid.shape[0] - 2)
     w = jnp.clip(
         (theta_i - grid[idx]) / jnp.maximum(grid[idx + 1] - grid[idx], 1e-12), 0.0, 1.0
     )
+    if brdf.rgb_rows is not None:
+        T, h, w3 = brdf.rgb_rows.shape
+        wx = w3 // 3
+        flat = brdf.rgb_rows.reshape(T * h, w3)
+        xf = jnp.clip(s[..., 0] * (wx - 1), 0.0, wx - 1 - 1e-6)
+        yf = jnp.clip(s[..., 1] * (h - 1), 0.0, h - 1 - 1e-6)
+        x0 = xf.astype(jnp.int32)
+        y0 = yf.astype(jnp.int32)
+        fx = (xf - x0)[..., None]
+        fy = (yf - y0)[..., None]
+        r00 = flat[idx * h + y0]
+        r01 = flat[idx * h + y0 + 1]
+        r10 = flat[(idx + 1) * h + y0]
+        r11 = flat[(idx + 1) * h + y0 + 1]
+        wn = w[..., None]
+        row_lo = (1 - wn) * r00 + wn * r10  # (N, 3w) at y0
+        row_hi = (1 - wn) * r01 + wn * r11  # (N, 3w) at y0+1
+        chan_off = jnp.arange(3, dtype=jnp.int32) * wx  # (3,)
+        jj0 = chan_off[None, :] + x0[..., None]  # (N, 3)
+        lane = jnp.arange(w3, dtype=jnp.int32)
+
+        def sel3(rows, jj):  # (N, 3w), (N, 3) -> (N, 3)
+            return jnp.sum(
+                jnp.where(lane[None, None, :] == jj[..., None], rows[:, None, :], 0.0),
+                axis=-1,
+            )
+
+        v0 = sel3(row_lo, jj0)
+        v1 = sel3(row_lo, jj0 + 1)
+        v2 = sel3(row_hi, jj0)
+        v3 = sel3(row_hi, jj0 + 1)
+        return (
+            v0 * (1 - fx) * (1 - fy)
+            + v1 * fx * (1 - fy)
+            + v2 * (1 - fx) * fy
+            + v3 * fx * fy
+        )
 
     def chan(p_idx, c):
         return _lookup_2d_batch(brdf.rgb[:, c], p_idx, s[..., 0], s[..., 1])

@@ -133,11 +133,14 @@ class SamplerConfig:
     disk_valid_r2: float = 0.995  # `rendering/brdf_measured_disk.py:69`
     pole_sin_eps: float = 5e-5  # `rendering/bsdf_myresult.py:69`
     # pdf queries invert the FORWARD Euler map with a 2x2 Newton solve
-    # (ode_pdf_exact) instead of the reference's reverse-Euler
-    # approximation — sample<->pdf consistency goes from ~25% median rel
-    # to ~1e-5 on trained spherical nets (no reference counterpart; XLA
-    # path only, the fused Pallas pdf kernel stays reverse-Euler)
-    pdf_exact: bool = False
+    # (ode_pdf_exact / the fused kernel's in-kernel Newton loop) instead
+    # of the reference's reverse-Euler approximation — sample<->pdf
+    # consistency goes from ~25% median rel to <1e-3 on trained nets.
+    # Default ON for production: MIS weights then see a pdf consistent
+    # with the sampler's own (no reference counterpart — upstream renders
+    # with the inconsistent reverse-Euler query,
+    # `mlp_brdf_sampling.py:69-103`; set False for reference parity)
+    pdf_exact: bool = True
     pdf_newton_iters: int = 2
 
 

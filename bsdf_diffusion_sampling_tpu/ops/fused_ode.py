@@ -794,6 +794,73 @@ def make_fused_sample_pdf_rows(
     return run, n_pad
 
 
+def _disk_pdf_exact_loop(y, cond, w_ref, *, T, n_layers, tile, col, mxu,
+                         newton_iters):
+    """In-kernel Newton exact-inverse of the FORWARD Euler map — the fused
+    twin of `ode/flow.py:ode_pdf_exact` (VERDICT r3 item 4: the production
+    pdf path integrated reverse Euler, ~25% median off the sampler's own
+    pdf on trained nets; this brings the fused path to Newton tolerance).
+
+    Per step t = T-1..0 solves y = x + h v(x, t/T) for x: reverse-Euler
+    warm start, `newton_iters` Newton updates (the 2x2 solve is closed
+    form in lane algebra: J columns arrive as the two tangent streams,
+    entries are extracted with blockcol masks and paired with one
+    lane-roll), then ONE tangent pass at the converged point for the
+    forward det. Returns (x0, det_prod) with det on blockcol 0; the
+    caller DIVIDES p0 by it (forward-sampling semantics), unlike the
+    reverse-Euler loop whose det multiplies.
+    """
+    f32 = jnp.float32
+    h = 1.0 / T
+    is0, is1 = (col == 0), (col == 1)
+    is0f = jnp.where(is0, 1.0, 0.0).astype(f32)
+    is1f = jnp.where(is1, 1.0, 0.0).astype(f32)
+    is2f = jnp.where(col == 2, 1.0, 0.0).astype(f32)
+    tang0 = jnp.stack([is0f, is1f])
+    ws = _hoist_weights(w_ref, n_layers, mxu)
+    left1 = LANES - 1  # roll blockcol 1 onto blockcol 0
+
+    x = y
+    det_acc = jnp.ones((tile, LANES), f32)
+    for t in range(T - 1, -1, -1):
+        alpha = t * h
+        # warm start: reverse Euler from the current target point
+        v0 = _mlp_primal(x + alpha * is2f + cond, ws, mxu)
+        xg = x - h * v0
+        for _ in range(newton_iters):
+            vg, tz = _mlp_with_tangents(xg + alpha * is2f + cond, tang0, ws,
+                                        mxu)
+            # F = xg + h v(xg) - x on blockcols 0:2
+            F = xg + h * vg - x
+            f0 = jnp.where(is0, F, 0.0)
+            f1r = pltpu.roll(jnp.where(is1, F, 0.0), shift=left1, axis=1)
+            # J columns: tz[0] = (J00 at col0, J10 at col1); tz[1] =
+            # (J01 at col0, J11 at col1)
+            a = jnp.where(is0, 1.0 + h * tz[0], 0.0)          # col0
+            b = jnp.where(is0, h * tz[1], 0.0)                # col0
+            cr = pltpu.roll(jnp.where(is1, h * tz[0], 0.0), shift=left1,
+                            axis=1)                            # c -> col0
+            dr = pltpu.roll(jnp.where(is1, 1.0 + h * tz[1], 0.0),
+                            shift=left1, axis=1)               # d -> col0
+            det = a * dr - b * cr                              # col0
+            inv = jnp.where(is0, 1.0 / jnp.where(jnp.abs(det) > 1e-20, det,
+                                                 1.0), 0.0)
+            dx0 = (dr * f0 - b * f1r) * inv                    # col0
+            dx1 = (a * f1r - cr * f0) * inv                    # col0
+            xg = xg - (dx0 + pltpu.roll(dx1, shift=1, axis=1))
+        # forward det at the converged point (matches ode_pdf_exact's
+        # final _velocity_and_jac)
+        _, tzf = _mlp_with_tangents(xg + alpha * is2f + cond, tang0, ws, mxu)
+        a = jnp.where(is0, 1.0 + h * tzf[0], 0.0)
+        b = jnp.where(is0, h * tzf[1], 0.0)
+        cr = pltpu.roll(jnp.where(is1, h * tzf[0], 0.0), shift=left1, axis=1)
+        dr = pltpu.roll(jnp.where(is1, 1.0 + h * tzf[1], 0.0), shift=left1,
+                        axis=1)
+        det_acc = det_acc * (a * dr - b * cr)
+        x = xg
+    return x, det_acc
+
+
 def _fused_pdf_kernel(
     s_ref,  # (TILE, 128) packed query x at blockcols 0:2
     c_ref,  # (TILE, 128) cond at blockcols 3:25, 1.0 at blockcol block-1
@@ -806,20 +873,30 @@ def _fused_pdf_kernel(
     block: int,
     mxu_dtype: str = "bfloat16",
     compact: bool = False,
+    exact: bool = False,
+    newton_iters: int = 2,
 ):
-    """Disk pdf query fully fused: reverse T-step ODE with det products,
-    then the base density at the recovered x0 — one kernel for the whole of
-    `network_pdf_disk` (`mlp_brdf_sampling.py:69-103`)."""
+    """Disk pdf query fully fused: inverse T-step transport with det
+    products, then the base density at the recovered x0 — one kernel for
+    the whole of `network_pdf_disk` (`mlp_brdf_sampling.py:69-103`).
+    `exact=True` inverts the forward Euler map itself (Newton), matching
+    the sampler's own pdf to ~1e-3 instead of reverse-Euler's ~25%."""
     mxu = jnp.dtype(mxu_dtype)
     tile = s_ref.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1) % block
     is0 = col == 0
     cond = c_ref[:]
 
-    x0, det_fin = _disk_ode_loop(
-        s_ref[:], cond, w_ref, T=T, n_layers=n_layers, tile=tile, col=col,
-        reverse=True, mxu=mxu,
-    )
+    if exact:
+        x0, det_fin = _disk_pdf_exact_loop(
+            s_ref[:], cond, w_ref, T=T, n_layers=n_layers, tile=tile,
+            col=col, mxu=mxu, newton_iters=newton_iters,
+        )
+    else:
+        x0, det_fin = _disk_ode_loop(
+            s_ref[:], cond, w_ref, T=T, n_layers=n_layers, tile=tile,
+            col=col, reverse=True, mxu=mxu,
+        )
 
     # base log-prob at x0: z = (x0 - loc) * exp(-ls) per column
     loc, ls = _base_heads(cond, bw_ref, col)
@@ -828,22 +905,27 @@ def _fused_pdf_kernel(
     pair_sum = per_col + pltpu.roll(per_col, shift=LANES - 1, axis=1)
     log_p0 = jnp.where(is0, pair_sum - jnp.log(2.0 * jnp.pi), 0.0)
 
-    pdf = jnp.where(is0, jnp.exp(log_p0) * det_fin, 0.0)
+    p0 = jnp.exp(log_p0)
+    # reverse-Euler multiplies reverse dets; Newton-exact divides the
+    # forward det product (`ode/flow.py:219`)
+    pdf = jnp.where(is0, p0 / det_fin if exact else p0 * det_fin, 0.0)
     out = jnp.where(col < 2, x0, 0.0) + pltpu.roll(pdf, shift=2, axis=1)
     out_ref[:] = _compact_epilogue(out, block) if compact else out
 
 
 @functools.partial(
     jax.jit, static_argnames=("T", "n_layers", "block", "tile", "mxu_dtype",
-                              "compact")
+                              "compact", "exact", "newton_iters")
 )
 def _fused_pdf_call(s_packed, c_packed, bw_packed, w_packed, *, T, n_layers,
-                    block, tile, mxu_dtype="bfloat16", compact=False):
+                    block, tile, mxu_dtype="bfloat16", compact=False,
+                    exact=False, newton_iters=2):
     n_rows = s_packed.shape[0]
     grid = (n_rows // tile,)
     kernel = functools.partial(
         _fused_pdf_kernel, T=T, n_layers=n_layers, block=block,
-        mxu_dtype=mxu_dtype, compact=compact,
+        mxu_dtype=mxu_dtype, compact=compact, exact=exact,
+        newton_iters=newton_iters,
     )
     rpo = (LANES // (LANES // block * _OUT_VALS)) if compact else 1
     tile_spec = pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -878,31 +960,143 @@ def fused_pdf_disk(
     T: int,
     tile: int = 256,
     mxu_dtype: str = "bfloat16",
+    exact: bool = False,
+    newton_iters: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One-kernel disk pdf query: (pdf, x0) for query points `x` (N, 2).
 
-    Functionally equivalent to `ode.ode_pdf` (`mlp_brdf_sampling.py:69-103`);
-    that XLA path is the parity oracle. All packing is jnp, so this traces
-    cleanly inside a jitted caller (the per-bounce render program)."""
-    n = x.shape[0]
+    Functionally equivalent to `ode.ode_pdf` (`mlp_brdf_sampling.py:69-103`)
+    (or `ode_pdf_exact` with exact=True); the XLA path is the parity
+    oracle. All packing is jnp, so this traces cleanly inside a jitted
+    caller (the per-bounce render program)."""
+    return fused_pdf_disk_packed(
+        prepack_disk(v_params, base_params), x, cond_enc, T, tile=tile,
+        mxu_dtype=mxu_dtype, exact=exact, newton_iters=newton_iters,
+    )
+
+
+# ------------------------------------------------- prepacked entry points
+#
+# The render bounce program calls sample/pdf once per bounce per matball
+# with FRESH conditions but FIXED weights. The plain entry points re-pack
+# the weights (a stack of jnp.kron products) on every trace/call; these
+# variants take the packed weights as pytree data so the bounce jit treats
+# them as inputs (packed once at make_neural_bsdf time) — VERDICT r3
+# item 7.
+
+
+def prepack_disk(v_params: List[dict], base_params: dict):
+    """(w_packed, bw_packed, block, n_layers) for the disk kernels."""
     block = _block_size(v_params)
+    return (
+        pack_weights(v_params, block),
+        _pack_base_weights(base_params, block),
+        block,
+        len(v_params),
+    )
+
+
+def prepack_velocity(v_params: List[dict]):
+    """(w_packed, block, n_layers) for the transport kernel."""
+    block = _block_size(v_params)
+    return pack_weights(v_params, block), block, len(v_params)
+
+
+def _pack_cond(cond_enc, block, n_pad, with_one=True):
+    pack = LANES // block
+    c = _pack_rows(cond_enc.astype(jnp.float32), 3, block, n_pad)
+    if with_one:
+        ones_col = jnp.zeros((n_pad, block), jnp.float32).at[:, block - 1].set(1.0)
+        c = c + ones_col.reshape(n_pad // pack, LANES)
+    return c
+
+
+def fused_sample_pdf_disk_packed(
+    packed,
+    cond_enc: jnp.ndarray,
+    seed,
+    T: int,
+    tile: int = 256,
+    eps: jnp.ndarray | None = None,
+    mxu_dtype: str = "bfloat16",
+):
+    """`fused_sample_pdf_disk` with prepacked weights (see prepack_disk).
+    `seed` feeds the in-kernel PRNG when `eps` is None (TPU production);
+    pass `eps` (N, 2) for the key-exact / interpret path."""
+    w_packed, bw_packed, block, n_layers = packed
+    n = cond_enc.shape[0]
     pack = LANES // block
     n_pad = ((n + tile * pack - 1) // (tile * pack)) * (tile * pack)
-
-    s_packed = _pack_rows(x.astype(jnp.float32), 0, block, n_pad)
-    c_packed = _pack_rows(cond_enc.astype(jnp.float32), 3, block, n_pad)
-    ones_col = jnp.zeros((n_pad, block), jnp.float32).at[:, block - 1].set(1.0)
-    c_packed = c_packed + ones_col.reshape(n_pad // pack, LANES)
-    bw_packed = _pack_base_weights(base_params, block)
-    w_packed = pack_weights(v_params, block)
-
-    out = _fused_pdf_call(
-        s_packed, c_packed, bw_packed, w_packed,
-        T=T, n_layers=len(v_params), block=block, tile=tile,
+    c_packed = _pack_cond(cond_enc, block, n_pad)
+    use_prng = eps is None
+    eps_packed = (
+        jnp.zeros((n_pad // pack, LANES), jnp.float32)
+        if use_prng
+        else _pack_rows(eps.astype(jnp.float32), 0, block, n_pad)
+    )
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    out = _fused_sample_pdf_call(
+        seed_arr, c_packed, eps_packed, bw_packed, w_packed,
+        T=T, n_layers=n_layers, block=block, tile=tile, use_prng=use_prng,
         mxu_dtype=mxu_dtype, compact=True,
     )
     rows = out.reshape(-1, _OUT_VALS)[:n]
+    return rows[:, 0:2], rows[:, 2], rows[:, 4:6]
+
+
+def fused_pdf_disk_packed(
+    packed,
+    x: jnp.ndarray,
+    cond_enc: jnp.ndarray,
+    T: int,
+    tile: int = 256,
+    mxu_dtype: str = "bfloat16",
+    exact: bool = False,
+    newton_iters: int = 2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`fused_pdf_disk` with prepacked weights (see prepack_disk)."""
+    w_packed, bw_packed, block, n_layers = packed
+    n = x.shape[0]
+    pack = LANES // block
+    n_pad = ((n + tile * pack - 1) // (tile * pack)) * (tile * pack)
+    s_packed = _pack_rows(x.astype(jnp.float32), 0, block, n_pad)
+    c_packed = _pack_cond(cond_enc, block, n_pad)
+    out = _fused_pdf_call(
+        s_packed, c_packed, bw_packed, w_packed,
+        T=T, n_layers=n_layers, block=block, tile=tile,
+        mxu_dtype=mxu_dtype, compact=True, exact=exact,
+        newton_iters=newton_iters,
+    )
+    rows = out.reshape(-1, _OUT_VALS)[:n]
     return rows[:, 2], rows[:, 0:2]
+
+
+def fused_transport_packed(
+    packed,
+    domain: str,
+    x0: jnp.ndarray,
+    cond_enc: jnp.ndarray,
+    T: int,
+    reverse: bool = False,
+    with_jac: bool = True,
+    tile: int = 256,
+    mxu_dtype: str = "bfloat16",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`fused_ode_transport` with prepacked weights (see prepack_velocity)."""
+    w_packed, block, n_layers = packed
+    n = x0.shape[0]
+    pack = LANES // block
+    n_pad = ((n + tile * pack - 1) // (tile * pack)) * (tile * pack)
+    cond_off = 3 if domain == "disk" else 4
+    s_packed = _pack_rows(x0.astype(jnp.float32), 0, block, n_pad)
+    c_packed = _pack_rows(cond_enc.astype(jnp.float32), cond_off, block, n_pad)
+    out = _fused_call(
+        s_packed, c_packed, w_packed,
+        domain=domain, T=T, n_layers=n_layers, block=block, reverse=reverse,
+        with_jac=with_jac, tile=tile, mxu_dtype=mxu_dtype, compact=True,
+    )
+    rows = out.reshape(-1, _OUT_VALS)[:n]
+    return rows[:, 0:2], rows[:, 2]
 
 
 def fused_ode_transport(

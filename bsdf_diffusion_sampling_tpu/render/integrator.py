@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from bsdf_diffusion_sampling_tpu.render.bvh import BVHArrays, intersect, occluded
+from bsdf_diffusion_sampling_tpu.render.bvh8 import BVH8Arrays
+from bsdf_diffusion_sampling_tpu.render.traverse8 import intersect8, occluded8
 from bsdf_diffusion_sampling_tpu.render.camera import accumulate_film, generate_rays
 from bsdf_diffusion_sampling_tpu.render.envmap import EnvMap, eval_env, pdf_env, sample_env
 from bsdf_diffusion_sampling_tpu.render.lambert import (
@@ -65,6 +67,21 @@ def _as_tuple(matball) -> tuple:
     """Normalize to a tuple of MatballFns — ball slot i shades material id
     MAT_BALL + i (the 3x4 array scenes carry 12 distinct mybsdf hooks)."""
     return (matball,) if isinstance(matball, MatballFns) else tuple(matball)
+
+
+def _isect(accel, ro, rd, active):
+    """Closest-hit dispatch: packet kernel for an 8-wide accel (TPU
+    production path, render/traverse8.py), binary lockstep otherwise
+    (CPU/oracle). Both return the same Hit contract."""
+    if isinstance(accel, BVH8Arrays):
+        return intersect8(accel, ro, rd, active=active)
+    return intersect(accel, ro, rd, active=active)
+
+
+def _occl(accel, ro, rd, t_max, active):
+    if isinstance(accel, BVH8Arrays):
+        return occluded8(accel, ro, rd, t_max, active=active)
+    return occluded(accel, ro, rd, t_max, active=active)
 
 
 def mis_weight(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray) -> jnp.ndarray:
@@ -162,7 +179,7 @@ def _bounce_program(
     n = ro.shape[0]
     k_nee, k_bsdf, k_rr = jax.random.split(jax.random.fold_in(key, depth), 3)
 
-    hit = intersect(bvh, ro, rd, active=alive)
+    hit = _isect(bvh, ro, rd, alive)
     miss = hit.t >= 1e29
 
     # escaped rays collect the envmap, MIS-weighted against the
@@ -205,7 +222,7 @@ def _bounce_program(
         wo_nee_l[..., 2] >= 0, RAY_EPS, -RAY_EPS
     )[..., None]
     nee_cand = alive & (pdf_e > 1e-9) & ((wo_nee_l[..., 2] > 0) | trans_mask)
-    occ = occluded(bvh, shadow_o, d_env, jnp.full((n,), 1e6), active=nee_cand)
+    occ = _occl(bvh, shadow_o, d_env, jnp.full((n,), 1e6), nee_cand)
     nee_ok = nee_cand & ~occ
     contrib = beta * f_nee * (le_nee / jnp.maximum(pdf_e, 1e-9)[..., None])
     contrib = contrib * mis_weight(pdf_e, pdf_b_at_nee)[..., None]
@@ -226,7 +243,7 @@ def _bounce_program(
             wo_light_l[..., 2] >= 0, RAY_EPS, -RAY_EPS
         )[..., None]
         cand = alive & ((wo_light_l[..., 2] > 0) | trans_mask)
-        occ_l = occluded(bvh, sh_o, d_l, dist - 2 * RAY_EPS, active=cand)
+        occ_l = _occl(bvh, sh_o, d_l, dist - 2 * RAY_EPS, cand)
         lvis = cand & ~occ_l
         contrib_l = beta * f_l * (inten[None, :] / (dist * dist)[..., None])
         L = L + jnp.where(lvis[..., None], contrib_l, 0.0)
@@ -381,6 +398,16 @@ def render(
     cnt_sum = None
     key = jax.random.key(seed)
     cam_vecs = scene.camera.vectors
+    # production accel: the packet-traversal kernel needs a TPU (Pallas
+    # DMA kernel) and an 8-wide table; the binary XLA path is the
+    # CPU/mesh-sharded fallback and the parity oracle
+    accel = (
+        scene.bvh8
+        if scene.bvh8 is not None
+        and jax.default_backend() == "tpu"
+        and mesh is None
+        else scene.bvh
+    )
     add = jax.jit(lambda a, b: (a[0] + b[0], a[1] + b[1]))
     # premake per-(pass, tile) keys outside the hot loop (eager jax ops
     # cost ~30 ms each on the tunneled dev backend)
@@ -391,7 +418,7 @@ def render(
     for i in range(passes):
         for (row0, rows) in row_tiles:
             img, cnt = render_pass(
-                scene.bvh, scene.envmap, cam_vecs, keys[ki],
+                accel, scene.envmap, cam_vecs, keys[ki],
                 matball=matball, width=w, height=h,
                 spp_chunk=spp_chunk, max_depth=max_depth, mesh=mesh,
                 row0=row0, rows=rows, lights=scene.lights,

@@ -34,9 +34,11 @@ from bsdf_diffusion_sampling_tpu.models.base_density import get_base
 from bsdf_diffusion_sampling_tpu.models.velocity import encode_condition
 from bsdf_diffusion_sampling_tpu.ode import ode_pdf, ode_sample
 from bsdf_diffusion_sampling_tpu.ops.fused_ode import (
-    fused_ode_transport,
-    fused_pdf_disk,
-    fused_sample_pdf_disk,
+    fused_pdf_disk_packed,
+    fused_sample_pdf_disk_packed,
+    fused_transport_packed,
+    prepack_disk,
+    prepack_velocity,
 )
 
 
@@ -52,8 +54,18 @@ class NeuralBSDF(NamedTuple):
     pole_sin_eps: float = 5e-5
     fused: bool = False  # run sample/pdf through the Pallas fused kernels
     tile: int = 256  # Pallas batch tile (sublane rows per grid step)
-    pdf_exact: bool = False  # Newton exact-inverse pdf queries (XLA path)
+    pdf_exact: bool = False  # Newton exact-inverse pdf queries (fused + XLA)
     pdf_newton_iters: int = 2
+    # prepacked kernel weights (prepack_disk / prepack_velocity output):
+    # packed ONCE here so the per-bounce render jit takes them as inputs
+    # instead of re-materializing the kron-expanded stacks every call
+    # (VERDICT r3 item 7)
+    packed: tuple | None = None
+    # draw base normals with the in-kernel Pallas PRNG (TPU production;
+    # saves a separate XLA normal() program + eps packing per bounce).
+    # False keeps the key-exact eps path the fused-vs-XLA parity tests and
+    # interpret mode need.
+    in_kernel_prng: bool = False
 
 
 def make_neural_bsdf(
@@ -78,6 +90,13 @@ def make_neural_bsdf(
     )
     if fused is None:
         fused = jax.default_backend() == "tpu"
+    packed = None
+    if fused:
+        packed = (
+            prepack_disk(v_params, base_params)
+            if domain == "disk"
+            else prepack_velocity(v_params)
+        )
     return NeuralBSDF(
         domain=domain,
         cfg=cfg,
@@ -92,6 +111,8 @@ def make_neural_bsdf(
         tile=tile,
         pdf_exact=sampler_cfg.pdf_exact,
         pdf_newton_iters=sampler_cfg.pdf_newton_iters,
+        packed=packed,
+        in_kernel_prng=fused and jax.default_backend() == "tpu",
     )
 
 
@@ -110,16 +131,22 @@ def _sample_x_pdf(nb: NeuralBSDF, key, omega_i, cond):
         return ode_sample(nb.domain, nb.v_params, nb.base_params, omega_i,
                           cond, key, nb.T)
     if nb.domain == "disk":
-        eps = jax.random.normal(key, omega_i.shape[:-1] + (2,))
-        x, pdf, _ = fused_sample_pdf_disk(
-            nb.v_params, nb.base_params, cond, 0, nb.T, tile=nb.tile, eps=eps
-        )
+        if nb.in_kernel_prng:
+            seed = jax.random.bits(key, dtype=jnp.uint32).astype(jnp.int32)
+            x, pdf, _ = fused_sample_pdf_disk_packed(
+                nb.packed, cond, seed, nb.T, tile=nb.tile
+            )
+        else:
+            eps = jax.random.normal(key, omega_i.shape[:-1] + (2,))
+            x, pdf, _ = fused_sample_pdf_disk_packed(
+                nb.packed, cond, 0, nb.T, tile=nb.tile, eps=eps
+            )
         return x, pdf
     base = get_base(nb.domain)
     x0 = base.sample(nb.base_params, omega_i, key)
     p0 = jnp.exp(base.log_prob(nb.base_params, x0, omega_i))
-    x, det = fused_ode_transport("spherical", nb.v_params, x0, cond, nb.T,
-                                 tile=nb.tile)
+    x, det = fused_transport_packed(nb.packed, "spherical", x0, cond, nb.T,
+                                    tile=nb.tile)
     return x, p0 / det
 
 
@@ -138,12 +165,23 @@ def _pdf_query(nb: NeuralBSDF, x, omega_i, cond):
         return ode_pdf(nb.domain, nb.v_params, nb.base_params, x, omega_i,
                        cond, nb.T)
     if nb.domain == "disk":
-        pdf, _ = fused_pdf_disk(nb.v_params, nb.base_params, x, cond, nb.T,
-                                tile=nb.tile)
+        pdf, _ = fused_pdf_disk_packed(
+            nb.packed, x, cond, nb.T, tile=nb.tile, exact=nb.pdf_exact,
+            newton_iters=nb.pdf_newton_iters,
+        )
         return pdf
+    if nb.pdf_exact:
+        # the spherical fused kernel has no in-kernel Newton branch yet;
+        # exact queries route through the XLA Newton solve (same math the
+        # disk kernel fuses) so production MIS stays sample-consistent
+        from bsdf_diffusion_sampling_tpu.ode import ode_pdf_exact
+
+        return ode_pdf_exact(nb.domain, nb.v_params, nb.base_params, x,
+                             omega_i, cond, nb.T,
+                             newton_iters=nb.pdf_newton_iters)
     base = get_base(nb.domain)
-    x0, det = fused_ode_transport("spherical", nb.v_params, x, cond, nb.T,
-                                  reverse=True, tile=nb.tile)
+    x0, det = fused_transport_packed(nb.packed, "spherical", x, cond, nb.T,
+                                     reverse=True, tile=nb.tile)
     p0 = jnp.exp(base.log_prob(nb.base_params, x0, omega_i))
     return p0 * det
 

@@ -407,7 +407,7 @@ def intersect8(
     t_max: float | jnp.ndarray = _INF,
     active: jnp.ndarray | None = None,
     any_hit: bool = False,
-    S: int = 1,
+    S: int = 8,
     G: int = 8,
 ) -> Hit:
     """Packet-kernel counterpart of render/bvh.intersect (same Hit
@@ -470,7 +470,7 @@ def intersect8(
     )
 
 
-def occluded8(bvh8: BVH8Arrays, ro, rd, t_max, active=None, S: int = 1,
+def occluded8(bvh8: BVH8Arrays, ro, rd, t_max, active=None, S: int = 8,
               G: int = 8) -> jnp.ndarray:
     """Boolean shadow query via the any-hit kernel variant."""
     hit = intersect8(bvh8, ro, rd, t_max, active=active, any_hit=True, S=S,

@@ -111,3 +111,61 @@ def test_make_fused_closure_matches_single_call(key):
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
     np.testing.assert_array_equal(np.asarray(pdf1), np.asarray(pdf2))
     np.testing.assert_array_equal(np.asarray(x01), np.asarray(x02))
+
+
+def test_fused_pdf_exact_matches_xla_newton(key):
+    """The in-kernel Newton exact-inverse pdf (exact=True) must match the
+    XLA ode_pdf_exact oracle, and close the sample<->pdf gap reverse-Euler
+    leaves (VERDICT r3 item 4)."""
+    from bsdf_diffusion_sampling_tpu.ode import ode_pdf_exact, ode_sample
+
+    cfg, v_params, base, b_params, omega_i, cond = _setup(key)
+    T = 4
+    x, pdf_fwd = ode_sample("disk", v_params, b_params, omega_i, cond,
+                            jax.random.fold_in(key, 3), T)
+
+    pdf_exact_xla = ode_pdf_exact("disk", v_params, b_params, x, omega_i,
+                                  cond, T, newton_iters=2)
+    pdf_f, _ = fused.fused_pdf_disk(v_params, b_params, x, cond, T, tile=8,
+                                    exact=True, newton_iters=2)
+    np.testing.assert_allclose(np.asarray(pdf_f), np.asarray(pdf_exact_xla),
+                               rtol=5e-4, atol=1e-7)
+
+    # consistency with the sampler's own pdf: exact-inverse must be much
+    # tighter than reverse Euler on the same queries
+    pdf_rev, _ = fused.fused_pdf_disk(v_params, b_params, x, cond, T, tile=8)
+    gap_exact = np.median(np.abs(np.asarray(pdf_f / pdf_fwd) - 1.0))
+    gap_rev = np.median(np.abs(np.asarray(pdf_rev / pdf_fwd) - 1.0))
+    assert gap_exact < 1e-3, gap_exact
+    assert gap_exact < gap_rev
+
+
+def test_neural_pdf_exact_through_renderer_path(key):
+    """pdf(sample()) through neural_pdf AS THE RENDERER CALLS IT: with
+    pdf_exact the fused production path matches the sampler's own pdf to
+    <1e-3 median rel (VERDICT r3 item 4 'done' criterion)."""
+    from bsdf_diffusion_sampling_tpu.bsdf import load_measured
+    from bsdf_diffusion_sampling_tpu.core.config import SamplerConfig
+    from bsdf_diffusion_sampling_tpu.render.neural import (
+        make_neural_bsdf,
+        neural_pdf,
+        neural_sample,
+    )
+
+    cfg, v_params, base, b_params, omega_i, cond = _setup(key)
+    brdf = load_measured(
+        "/root/reference/rendering/measuredbsdfs/chm_mint_rgb.bsdf")
+    nb = make_neural_bsdf(
+        "disk", cfg, v_params, b_params, brdf,
+        sampler_cfg=SamplerConfig(pdf_exact=True), fused=True, tile=8)
+    n = 512
+    u = jax.random.uniform(jax.random.fold_in(key, 11), (n, 2))
+    ct = 0.1 + 0.85 * u[:, 0]
+    st = jnp.sqrt(1 - ct**2)
+    phi = u[:, 1] * 2 * jnp.pi
+    wi = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+    wo, pdf_s = neural_sample(nb, jax.random.fold_in(key, 12), wi)
+    pdf_q = neural_pdf(nb, wi, wo)
+    ok = np.asarray(pdf_s) > 1e-6
+    rel = np.abs(np.asarray(pdf_q)[ok] / np.asarray(pdf_s)[ok] - 1.0)
+    assert np.median(rel) < 1e-3, np.median(rel)

