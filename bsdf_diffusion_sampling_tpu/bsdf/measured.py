@@ -304,6 +304,33 @@ def pdf_brdf(brdf: MeasuredBRDF, wi: jnp.ndarray, wo: jnp.ndarray) -> jnp.ndarra
     return jnp.where(active, pdf, 0.0)
 
 
+def eval_pdf_brdf(
+    brdf: MeasuredBRDF, wi: jnp.ndarray, wo: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(eval, pdf) in one pass: the NEE/MIS path needs both at the same
+    (wi, wo), and they share the vndf invert (the expensive half — 8
+    gathered rows). Equals (eval_brdf(..), pdf_brdf(..)) exactly."""
+    active = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    wm = _half_vector(wi, wo)
+    theta_i, phi_i = _spherical(wi)
+    theta_m, phi_m = _spherical(wm)
+    u_x, u_y = _u_wm(theta_m, phi_m, phi_i)
+    pos = jnp.stack([u_x, u_y], axis=-1)
+
+    s, vndf_pdf = warp_invert(brdf.vndf, pos, theta_i)
+    fr = _rgb_lookup(brdf, s, theta_i)
+    d = _lookup_2d(brdf.ndf, u_x, u_y)
+    sig = _lookup_2d(brdf.sigma, theta2u(theta_i), phi2u(phi_i))
+    scale = d / jnp.maximum(4.0 * sig, 1e-12)
+    fr = jnp.maximum(fr * scale[..., None], 0.0)
+    fr = jnp.where(active[..., None], fr, 0.0)
+
+    lum_pdf = warp_eval(brdf.luminance, s, theta_i)
+    jac = _solid_angle_jacobian(u_x, theta_m, wo, wm)
+    pdf = jnp.where(active, vndf_pdf * lum_pdf / jac, 0.0)
+    return fr, pdf
+
+
 def sample_brdf(
     brdf: MeasuredBRDF, u: jnp.ndarray, wi: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

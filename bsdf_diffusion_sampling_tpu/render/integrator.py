@@ -61,6 +61,10 @@ class MatballFns(NamedTuple):
     pdf: Callable  # (wi_local, wo_local) -> (N,)
     weight_filter: Callable  # (rgb_weight) -> rgb_weight (firefly policy)
     transmissive: bool = False  # full-sphere BSDF (wo may go below surface)
+    # optional fused (eval, pdf) at the same (wi, wo) — the NEE/MIS path
+    # needs both and implementations can share the expensive half (the
+    # measured BRDF's vndf invert). None -> separate eval + pdf calls.
+    eval_pdf: Callable | None = None
 
 
 def _as_tuple(matball) -> tuple:
@@ -112,6 +116,22 @@ def _shade_eval(matballs: tuple, mat_id, uv, wi_l, wo_l):
         ball = mb.eval(wi_l, wo_l)
         out = jnp.where((mat_id == MAT_BALL + i)[..., None], ball, out)
     return out
+
+
+def _shade_eval_pdf(matballs: tuple, mat_id, uv, wi_l, wo_l):
+    """(f*cos, pdf) for all materials, sharing work where the material
+    provides a fused eval_pdf."""
+    f = diffuse_eval(_albedo(mat_id, uv), wo_l)
+    pdf = diffuse_pdf(wo_l)
+    for i, mb in enumerate(matballs):
+        if mb.eval_pdf is not None:
+            fb, pb = mb.eval_pdf(wi_l, wo_l)
+        else:
+            fb, pb = mb.eval(wi_l, wo_l), mb.pdf(wi_l, wo_l)
+        is_b = mat_id == MAT_BALL + i
+        f = jnp.where(is_b[..., None], fb, f)
+        pdf = jnp.where(is_b, pb, pdf)
+    return f, pdf
 
 
 def _shade_pdf(matballs: tuple, mat_id, wi_l, wo_l):
@@ -193,18 +213,31 @@ def _bounce_program(
     prim = hit.prim
     u, v = hit.u, hit.v
     w0 = 1.0 - u - v
-    n_sh = (
-        w0[:, None] * bvh.n0[prim]
-        + u[:, None] * bvh.n1[prim]
-        + v[:, None] * bvh.n2[prim]
-    )
+    if getattr(bvh, "attr_rows", None) is not None:
+        # one packed row gather serves normals, uvs, and material id
+        a = bvh.attr_rows[prim]  # (n, 16)
+        n_sh = (
+            w0[:, None] * a[:, 0:3] + u[:, None] * a[:, 3:6]
+            + v[:, None] * a[:, 6:9]
+        )
+        uv = (
+            w0[:, None] * a[:, 9:11] + u[:, None] * a[:, 11:13]
+            + v[:, None] * a[:, 13:15]
+        )
+        mat_id = a[:, 15].astype(jnp.int32)
+    else:
+        n_sh = (
+            w0[:, None] * bvh.n0[prim]
+            + u[:, None] * bvh.n1[prim]
+            + v[:, None] * bvh.n2[prim]
+        )
+        uv = (
+            w0[:, None] * bvh.uv0[prim]
+            + u[:, None] * bvh.uv1[prim]
+            + v[:, None] * bvh.uv2[prim]
+        )
+        mat_id = bvh.material_id[prim]
     n_sh = n_sh / jnp.maximum(jnp.linalg.norm(n_sh, axis=-1, keepdims=True), 1e-12)
-    uv = (
-        w0[:, None] * bvh.uv0[prim]
-        + u[:, None] * bvh.uv1[prim]
-        + v[:, None] * bvh.uv2[prim]
-    )
-    mat_id = bvh.material_id[prim]
     p_hit = ro + rd * hit.t[:, None]
     t, bt = make_frame(n_sh)
     wi_l = to_local(n_sh, t, bt, -rd)
@@ -216,8 +249,8 @@ def _bounce_program(
     u_nee = jax.random.uniform(k_nee, (n, 2))
     d_env, le_nee, pdf_e = sample_env(env, u_nee)
     wo_nee_l = to_local(n_sh, t, bt, d_env)
-    f_nee = _shade_eval(matballs, mat_id, uv, wi_l, wo_nee_l)
-    pdf_b_at_nee = _shade_pdf(matballs, mat_id, wi_l, wo_nee_l)
+    f_nee, pdf_b_at_nee = _shade_eval_pdf(matballs, mat_id, uv, wi_l,
+                                          wo_nee_l)
     shadow_o = p_hit + n_sh * jnp.where(
         wo_nee_l[..., 2] >= 0, RAY_EPS, -RAY_EPS
     )[..., None]
@@ -435,7 +468,12 @@ def measured_matball(brdf, firefly_clamp: float = 30.0) -> MatballFns:
     """Ground-truth matball: the RGL measured BRDF importance-samples
     itself — the renderer's golden-image mode (stands in for the Mitsuba
     `measured` plugin renders the paper compares against)."""
-    from bsdf_diffusion_sampling_tpu.bsdf.measured import eval_brdf, pdf_brdf, sample_brdf
+    from bsdf_diffusion_sampling_tpu.bsdf.measured import (
+        eval_brdf,
+        eval_pdf_brdf,
+        pdf_brdf,
+        sample_brdf,
+    )
 
     def sample(key, wi_l):
         u = jax.random.uniform(key, wi_l.shape[:-1] + (2,), minval=1e-6,
@@ -451,6 +489,7 @@ def measured_matball(brdf, firefly_clamp: float = 30.0) -> MatballFns:
         eval=lambda wi, wo: eval_brdf(brdf, wi, wo),
         pdf=lambda wi, wo: pdf_brdf(brdf, wi, wo),
         weight_filter=clamp,
+        eval_pdf=lambda wi, wo: eval_pdf_brdf(brdf, wi, wo),
     )
 
 

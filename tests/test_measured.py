@@ -221,3 +221,23 @@ def test_rgb_rows_packed_path_matches_per_channel(brdf, key):
     slow = me._rgb_lookup(slow_brdf, s, theta)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
                                rtol=2e-5, atol=1e-7)
+
+
+def test_eval_pdf_brdf_matches_separate(brdf, key):
+    from bsdf_diffusion_sampling_tpu.bsdf import measured as me
+
+    k1, k2 = jax.random.split(key)
+    def dirs(k, n=2048):
+        u = jax.random.uniform(k, (n, 2))
+        ct = 0.05 + 0.9 * u[:, 0]
+        st = jnp.sqrt(1 - ct**2)
+        phi = u[:, 1] * 2 * jnp.pi
+        return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], -1)
+    wi, wo = dirs(k1), dirs(k2)
+    f, p = me.eval_pdf_brdf(brdf, wi, wo)
+    np.testing.assert_allclose(np.asarray(f),
+                               np.asarray(me.eval_brdf(brdf, wi, wo)),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(p),
+                               np.asarray(me.pdf_brdf(brdf, wi, wo)),
+                               rtol=1e-6, atol=1e-9)
