@@ -147,6 +147,10 @@ def main() -> None:
         f"{np.median(rel):.4f}, p99 {np.quantile(rel, 0.99):.4f}")
 
     bench_tile = int(os.environ.get("BENCH_TILE", "1024"))
+    # split-chain interleave (ops/fused_ode.py _disk_ode_loop): emit C
+    # independent row-chunk chains in alternating program order so Mosaic
+    # can overlap VPU epilogues with matmuls. A/B with BENCH_INTERLEAVE.
+    interleave = int(os.environ.get("BENCH_INTERLEAVE", "1"))
 
     if use_xla:
         # one jitted scan: fold_in + sampler + a scalar carry that chains
@@ -197,7 +201,7 @@ def main() -> None:
             rows = _fused_sample_pdf_call(
                 seed, c_pk, eps_pk, bw_pk, w_pk,
                 T=T, n_layers=len(v_params), block=block, tile=tile,
-                use_prng=True, compact=True,
+                use_prng=True, compact=True, interleave=interleave,
             )
             if unit == "kernel":
                 # consume every value lane in the kernel's own compacted

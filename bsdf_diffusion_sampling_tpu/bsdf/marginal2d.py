@@ -37,12 +37,19 @@ class Warp2D(NamedTuple):
     cond_cdf: (P, H, W) cumulative trapezoid along x (cond_cdf[..., 0] = 0)
     marg_cdf: (P, H)    cumulative trapezoid along y of row integrals
     params:   (P,)      conditioning values (theta_i), increasing
+
+    Anisotropic files condition on BOTH (phi_i, theta_i): `params_phi`
+    (Pp,) is then the phi_i grid and the slice axis is flattened
+    phi-major (P == Pp * Pt, slice p = pf * Pt + tf); slice blending is
+    bilinear over the 4 bracketing (phi, theta) slices. params_phi with a
+    single entry (the isotropic case) keeps the 2-slice linear blend.
     """
 
     density: jnp.ndarray
     cond_cdf: jnp.ndarray
     marg_cdf: jnp.ndarray
     params: jnp.ndarray
+    params_phi: jnp.ndarray | None = None
 
     @property
     def res(self) -> Tuple[int, int]:
@@ -69,6 +76,18 @@ def build_warp2d(grids: np.ndarray, params: np.ndarray) -> Warp2D:
         marg_cdf=jnp.asarray(marg / total, jnp.float32),
         params=jnp.asarray(params, jnp.float32),
     )
+
+
+def build_warp2d_aniso(grids: np.ndarray, theta: np.ndarray,
+                       phi: np.ndarray) -> Warp2D:
+    """grids: (Pp, Pt, H, W) vertex values conditioned on (phi_i, theta_i).
+    Slices flatten phi-major; blending is bilinear over the 4 bracketing
+    (phi, theta) slices (Mitsuba Marginal2D<2> param_weight semantics)."""
+    Pp, Pt, H, W = grids.shape
+    flat = build_warp2d(np.asarray(grids).reshape(Pp * Pt, H, W),
+                       np.tile(np.asarray(theta), Pp))
+    return flat._replace(params=jnp.asarray(theta, jnp.float32),
+                         params_phi=jnp.asarray(phi, jnp.float32))
 
 
 def _param_weight(warp: Warp2D, theta):
@@ -147,23 +166,55 @@ def _row_density(warp, p0, p1, wp, k):
 # => 8 gathered rows per warp_sample (~5 ms/64k), bit-compatible blending.
 
 _FAST_MAX = 128  # rows (W) and marginal length (H) must fit vector lanes
-_FAST_MAX_P = 16  # slice-blend matmul width
+_FAST_MAX_P = 64  # slice-blend matmul width (flattened aniso: Pp * Pt)
 
 
 def _fast_ok(warp: Warp2D) -> bool:
     H, W = warp.res
-    return W <= _FAST_MAX and H <= _FAST_MAX and warp.params.shape[0] <= _FAST_MAX_P
+    return (W <= _FAST_MAX and H <= _FAST_MAX
+            and warp.density.shape[0] <= _FAST_MAX_P)
 
 
-def _pblend(warp: Warp2D, theta):
-    """Slice-interpolation weight matrix (..., P): (1-w) at p0, w at p1."""
-    p0, p1, wp = _param_weight(warp, theta)
-    P = warp.params.shape[0]
+def _bracket(grid, v):
+    """Bracketing index + weight on a 1-D increasing grid, end-clamped."""
+    n = grid.shape[0]
+    if n == 1:
+        z = jnp.zeros(jnp.shape(v), jnp.int32)
+        return z, jnp.zeros(jnp.shape(v), grid.dtype)
+    idx = jnp.clip(jnp.searchsorted(grid, v, side="right") - 1, 0, n - 2)
+    w = jnp.clip((v - grid[idx]) / jnp.maximum(grid[idx + 1] - grid[idx],
+                                               1e-12), 0.0, 1.0)
+    return idx, w
+
+
+def _slice_weights(warp: Warp2D, theta, phi):
+    """[(flat slice index, weight)] — 2 entries for theta-only warps, 4
+    for anisotropic (phi_i x theta_i) warps; weights sum to 1."""
+    Pt = warp.params.shape[0]
+    ti, tw = _bracket(warp.params, theta)
+    t_slices = [(ti, 1.0 - tw), (jnp.minimum(ti + 1, Pt - 1), tw)]
+    if warp.params_phi is None or warp.params_phi.shape[0] <= 1:
+        return t_slices
+    Pp = warp.params_phi.shape[0]
+    if phi is None:
+        phi = jnp.zeros(jnp.shape(theta), warp.params_phi.dtype)
+    pi_, pw = _bracket(warp.params_phi, phi)
+    out = []
+    for t_idx, t_w in t_slices:
+        out.append((pi_ * Pt + t_idx, (1.0 - pw) * t_w))
+        out.append((jnp.minimum(pi_ + 1, Pp - 1) * Pt + t_idx, pw * t_w))
+    return out
+
+
+def _pblend(warp: Warp2D, theta, phi=None):
+    """Slice-interpolation weight matrix (..., P) + the slice list."""
+    slices = _slice_weights(warp, theta, phi)
+    P = warp.density.shape[0]
     pid = jnp.arange(P, dtype=jnp.int32)
-    w = jnp.where(pid == p0[..., None], (1.0 - wp)[..., None], 0.0)
-    if P > 1:
-        w = w + jnp.where(pid == p1[..., None], wp[..., None], 0.0)
-    return w, p0, p1, wp
+    w = jnp.zeros(jnp.shape(theta) + (P,), jnp.float32)
+    for idx, wk in slices:
+        w = w + jnp.where(pid == idx[..., None], wk[..., None], 0.0)
+    return w, slices
 
 
 def _count_cells(cdf_rows, target, n: int):
@@ -187,21 +238,26 @@ def _gather_rows(table3, p, k):
     return table3.reshape(P * H, W)[p * H + k]
 
 
-def _blend_rows(table3, p0, p1, wp_n, k, k1, t_n):
-    """Bilinear (slice, row) blend of table rows: 4 row gathers."""
-    b0 = _gather_rows(table3, p0, k)
-    t0 = _gather_rows(table3, p0, k1)
-    if table3.shape[0] > 1:
-        b0 = (1.0 - wp_n) * b0 + wp_n * _gather_rows(table3, p1, k)
-        t0 = (1.0 - wp_n) * t0 + wp_n * _gather_rows(table3, p1, k1)
+def _blend_rows(table3, slices, k, k1, t_n):
+    """(slice, row) blend of table rows: 2 row gathers per slice entry
+    (2 slices isotropic, 4 anisotropic)."""
+    b0 = None
+    t0 = None
+    for idx, wk in slices:
+        wn = wk[..., None]
+        gb = wn * _gather_rows(table3, idx, k)
+        gt = wn * _gather_rows(table3, idx, k1)
+        b0 = gb if b0 is None else b0 + gb
+        t0 = gt if t0 is None else t0 + gt
     return (1.0 - t_n) * b0 + t_n * t0
 
 
-def _warp_sample_fast(warp: Warp2D, u: jnp.ndarray, theta: jnp.ndarray):
+def _warp_sample_fast(warp: Warp2D, u: jnp.ndarray, theta: jnp.ndarray,
+                      phi=None):
     H, W = warp.res
     dx, dy = 1.0 / (W - 1), 1.0 / (H - 1)
     u1, u2 = u[..., 0], u[..., 1]
-    wmat, p0, p1, wp = _pblend(warp, theta)
+    wmat, slices = _pblend(warp, theta, phi)
 
     marg_rows = jnp.einsum("...p,ph->...h", wmat, warp.marg_cdf)
     rt_rows = jnp.einsum("...p,ph->...h", wmat, warp.cond_cdf[..., -1])
@@ -213,10 +269,10 @@ def _warp_sample_fast(warp: Warp2D, u: jnp.ndarray, theta: jnp.ndarray):
 
     row_total = (1 - t) * m0 + t * m1
     target = u1 * row_total
-    wp_n, t_n = wp[..., None], t[..., None]
-    cond_rows = _blend_rows(warp.cond_cdf, p0, p1, wp_n, k, k + 1, t_n)
+    t_n = t[..., None]
+    cond_rows = _blend_rows(warp.cond_cdf, slices, k, k + 1, t_n)
     j = _count_cells(cond_rows, target, W)
-    dens_rows = _blend_rows(warp.density, p0, p1, wp_n, k, k + 1, t_n)
+    dens_rows = _blend_rows(warp.density, slices, k, k + 1, t_n)
     d0 = _sel(dens_rows, j)
     d1 = _sel(dens_rows, j + 1)
     s = _invert_linear_cdf(_sel(cond_rows, j), d0, d1, dx, target)
@@ -226,11 +282,12 @@ def _warp_sample_fast(warp: Warp2D, u: jnp.ndarray, theta: jnp.ndarray):
     return jnp.stack([x, y], axis=-1), pdf
 
 
-def _warp_invert_fast(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray):
+def _warp_invert_fast(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray,
+                      phi=None):
     H, W = warp.res
     dx, dy = 1.0 / (W - 1), 1.0 / (H - 1)
     x, y = pos[..., 0], pos[..., 1]
-    wmat, p0, p1, wp = _pblend(warp, theta)
+    wmat, slices = _pblend(warp, theta, phi)
 
     yk = jnp.clip(y * (H - 1), 0.0, H - 1 - 1e-6)
     k = yk.astype(jnp.int32)
@@ -244,9 +301,9 @@ def _warp_invert_fast(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray):
     xj = jnp.clip(x * (W - 1), 0.0, W - 1 - 1e-6)
     j = xj.astype(jnp.int32)
     s = xj - j.astype(xj.dtype)
-    wp_n, t_n = wp[..., None], t[..., None]
-    cond_rows = _blend_rows(warp.cond_cdf, p0, p1, wp_n, k, k + 1, t_n)
-    dens_rows = _blend_rows(warp.density, p0, p1, wp_n, k, k + 1, t_n)
+    t_n = t[..., None]
+    cond_rows = _blend_rows(warp.cond_cdf, slices, k, k + 1, t_n)
+    dens_rows = _blend_rows(warp.density, slices, k, k + 1, t_n)
     d0 = _sel(dens_rows, j)
     d1 = _sel(dens_rows, j + 1)
     cx = _eval_linear_cdf(_sel(cond_rows, j), d0, d1, dx, s)
@@ -257,18 +314,18 @@ def _warp_invert_fast(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray):
     return jnp.stack([u1, u2], axis=-1), pdf
 
 
-def _warp_eval_fast(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray):
+def _warp_eval_fast(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray,
+                    phi=None):
     H, W = warp.res
     x, y = pos[..., 0], pos[..., 1]
-    _, p0, p1, wp = _pblend(warp, theta)
+    slices = _slice_weights(warp, theta, phi)
     yk = jnp.clip(y * (H - 1), 0.0, H - 1 - 1e-6)
     k = yk.astype(jnp.int32)
     t = yk - k.astype(yk.dtype)
     xj = jnp.clip(x * (W - 1), 0.0, W - 1 - 1e-6)
     j = xj.astype(jnp.int32)
     s = xj - j.astype(xj.dtype)
-    dens_rows = _blend_rows(warp.density, p0, p1, wp[..., None], k, k + 1,
-                            t[..., None])
+    dens_rows = _blend_rows(warp.density, slices, k, k + 1, t[..., None])
     d0 = _sel(dens_rows, j)
     d1 = _sel(dens_rows, j + 1)
     return (1 - s) * d0 + s * d1
@@ -320,11 +377,19 @@ def _warp_sample_wide1(warp: Warp2D, u: jnp.ndarray):
     return jnp.stack([x, y], axis=-1), pdf
 
 
-def warp_sample(warp: Warp2D, u: jnp.ndarray, theta: jnp.ndarray):
-    """u: (..., 2) uniforms; theta: (...,) parameter. Returns ((..., 2) pos,
-    (...,) density at pos)."""
+def _require_fast_for_aniso(warp: Warp2D, phi):
+    if phi is not None and warp.params_phi is not None and not _fast_ok(warp):
+        raise NotImplementedError(
+            "anisotropic warps require the row fast path (rows <= 128 lanes)"
+        )
+
+
+def warp_sample(warp: Warp2D, u: jnp.ndarray, theta: jnp.ndarray, phi=None):
+    """u: (..., 2) uniforms; theta: (...,) parameter (+ phi for aniso
+    warps). Returns ((..., 2) pos, (...,) density at pos)."""
+    _require_fast_for_aniso(warp, phi)
     if _fast_ok(warp):
-        return _warp_sample_fast(warp, u, theta)
+        return _warp_sample_fast(warp, u, theta, phi)
     if _wide1_ok(warp):
         return _warp_sample_wide1(warp, u)
     H, W = warp.res
@@ -352,10 +417,12 @@ def warp_sample(warp: Warp2D, u: jnp.ndarray, theta: jnp.ndarray):
     return jnp.stack([x, y], axis=-1), pdf
 
 
-def warp_invert(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray):
+def warp_invert(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray,
+                phi=None):
     """Exact inverse of warp_sample: (pos, theta) -> ((..., 2) u, density)."""
+    _require_fast_for_aniso(warp, phi)
     if _fast_ok(warp):
-        return _warp_invert_fast(warp, pos, theta)
+        return _warp_invert_fast(warp, pos, theta, phi)
     H, W = warp.res
     dx, dy = 1.0 / (W - 1), 1.0 / (H - 1)
     x, y = pos[..., 0], pos[..., 1]
@@ -398,10 +465,11 @@ def _warp_eval_wide1(warp: Warp2D, pos: jnp.ndarray):
     return (1 - s) * d0 + s * d1
 
 
-def warp_eval(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray):
+def warp_eval(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray, phi=None):
     """Normalized density at pos (unit-square measure)."""
+    _require_fast_for_aniso(warp, phi)
     if _fast_ok(warp):
-        return _warp_eval_fast(warp, pos, theta)
+        return _warp_eval_fast(warp, pos, theta, phi)
     if _wide1_ok(warp):
         return _warp_eval_wide1(warp, pos)
     H, W = warp.res

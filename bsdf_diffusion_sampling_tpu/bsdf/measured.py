@@ -82,30 +82,46 @@ class MeasuredBRDF(NamedTuple):
     ndf: jnp.ndarray  # (2, W) lookup
     vndf: Warp2D
     luminance: Warp2D
-    rgb: jnp.ndarray  # (T, 3, h, w)
-    # channel-packed rgb rows, (T, h, 3*w): row y of slice t holds the
+    rgb: jnp.ndarray  # (P_flat, 3, h, w); P_flat = |phi_i| * |theta_i|
+    # channel-packed rgb rows, (P_flat, h, 3*w): row y of slice p holds the
     # R/G/B rows back to back (lane c*w + x) when 3*w <= 128 — ONE row
     # gather then serves all three channels' bilinear corners (TPU gathers
     # are row-count bound, ~9 ns/row on v5e regardless of width). None
     # when the rows don't fit (falls back to per-channel lookups).
     rgb_rows: jnp.ndarray | None = None
+    # anisotropic files: the phi_i grid (Pp,); tables condition on
+    # (phi_i, theta_i) with slices flattened phi-major (bvh8-style row
+    # packing keeps the per-query gather count at 2x the isotropic cost).
+    # None for the 14 shipped isotropic files.
+    phi_i_grid: jnp.ndarray | None = None
     name: str = ""
 
 
-def load_measured(path: str) -> MeasuredBRDF:
-    tf = read_tensor_file(path)
+def measured_from_tensors(tf: dict, name: str = "") -> MeasuredBRDF:
+    """Build the evaluator from raw RGL tensor-file entries. Split from
+    load_measured so tests can synthesize anisotropic tensors (none of the
+    14 shipped .bsdf files has |phi_i| > 1)."""
     theta_i = np.asarray(tf["theta_i"], np.float32)
     phi_i = np.asarray(tf["phi_i"], np.float32)
-    if phi_i.shape[0] != 1:
-        raise NotImplementedError(
-            f"{path}: anisotropic files (|phi_i|={phi_i.shape[0]}) not yet supported"
-        )
-    vndf = build_warp2d(np.asarray(tf["vndf"])[0], theta_i)
-    lum = build_warp2d(np.asarray(tf["luminance"])[0], theta_i)
-    rgb = np.asarray(tf["rgb"], np.float32)[0]  # (T, 3, h, w)
-    t_, _, h_, w_ = rgb.shape
+    aniso = phi_i.shape[0] > 1
+    vndf_g = np.asarray(tf["vndf"], np.float64)
+    lum_g = np.asarray(tf["luminance"], np.float64)
+    rgb = np.asarray(tf["rgb"], np.float32)  # (Pp, T, 3, h, w)
+    if aniso:
+        from bsdf_diffusion_sampling_tpu.bsdf.marginal2d import build_warp2d_aniso
+
+        vndf = build_warp2d_aniso(vndf_g, theta_i, phi_i)
+        lum = build_warp2d_aniso(lum_g, theta_i, phi_i)
+        rgb_flat = rgb.reshape((-1,) + rgb.shape[2:])  # (Pp*T, 3, h, w)
+    else:
+        vndf = build_warp2d(vndf_g[0], theta_i)
+        lum = build_warp2d(lum_g[0], theta_i)
+        rgb_flat = rgb[0]
+    p_, _, h_, w_ = rgb_flat.shape
     rgb_rows = (
-        jnp.asarray(np.transpose(rgb, (0, 2, 1, 3)).reshape(t_, h_, 3 * w_))
+        jnp.asarray(
+            np.transpose(rgb_flat, (0, 2, 1, 3)).reshape(p_, h_, 3 * w_)
+        )
         if 3 * w_ <= 128
         else None
     )
@@ -115,8 +131,16 @@ def load_measured(path: str) -> MeasuredBRDF:
         ndf=jnp.asarray(np.asarray(tf["ndf"], np.float32)),
         vndf=vndf,
         luminance=lum,
-        rgb=jnp.asarray(rgb),
+        rgb=jnp.asarray(rgb_flat),
         rgb_rows=rgb_rows,
+        phi_i_grid=jnp.asarray(phi_i) if aniso else None,
+        name=name,
+    )
+
+
+def load_measured(path: str) -> MeasuredBRDF:
+    return measured_from_tensors(
+        read_tensor_file(path),
         name=path.rsplit("/", 1)[-1].removesuffix(".bsdf"),
     )
 
@@ -161,34 +185,52 @@ def _lookup_2d(table: jnp.ndarray, u_x, u_y):
     )
 
 
-def _rgb_lookup(brdf: MeasuredBRDF, s: jnp.ndarray, theta_i):
-    """(N, 3) rgb table value at unit-square s, interpolated over theta_i.
+def _slice_list(brdf: MeasuredBRDF, theta_i, phi_i):
+    """[(flat slice, weight)] over the rgb/table slice axis: 2 entries for
+    isotropic files, 4 (bilinear over phi_i x theta_i) for anisotropic."""
+    from bsdf_diffusion_sampling_tpu.bsdf.marginal2d import _bracket
 
-    Channel-packed path: 4 row gathers total (two theta_i slices x two y
-    rows, each row holding all three channels) instead of 24 scalar
-    gathers — the corners come from lane selects on the gathered rows."""
     grid = brdf.theta_i_grid
-    idx = jnp.clip(jnp.searchsorted(grid, theta_i, side="right") - 1, 0, grid.shape[0] - 2)
-    w = jnp.clip(
-        (theta_i - grid[idx]) / jnp.maximum(grid[idx + 1] - grid[idx], 1e-12), 0.0, 1.0
-    )
+    Pt = grid.shape[0]
+    ti, tw = _bracket(grid, theta_i)
+    t_slices = [(ti, 1.0 - tw), (jnp.minimum(ti + 1, Pt - 1), tw)]
+    if brdf.phi_i_grid is None:
+        return t_slices
+    Pp = brdf.phi_i_grid.shape[0]
+    pi_, pw = _bracket(brdf.phi_i_grid, phi_i)
+    out = []
+    for t_idx, t_w in t_slices:
+        out.append((pi_ * Pt + t_idx, (1.0 - pw) * t_w))
+        out.append((jnp.minimum(pi_ + 1, Pp - 1) * Pt + t_idx, pw * t_w))
+    return out
+
+
+def _rgb_lookup(brdf: MeasuredBRDF, s: jnp.ndarray, theta_i, phi_i=None):
+    """(N, 3) rgb table value at unit-square s, interpolated over theta_i
+    (and phi_i for anisotropic files).
+
+    Channel-packed path: 2 row gathers per slice entry (each row holding
+    all three channels) instead of 24+ scalar gathers — the corners come
+    from lane selects on the gathered rows."""
+    slices = _slice_list(brdf, theta_i, phi_i)
     if brdf.rgb_rows is not None:
-        T, h, w3 = brdf.rgb_rows.shape
+        P, h, w3 = brdf.rgb_rows.shape
         wx = w3 // 3
-        flat = brdf.rgb_rows.reshape(T * h, w3)
+        flat = brdf.rgb_rows.reshape(P * h, w3)
         xf = jnp.clip(s[..., 0] * (wx - 1), 0.0, wx - 1 - 1e-6)
         yf = jnp.clip(s[..., 1] * (h - 1), 0.0, h - 1 - 1e-6)
         x0 = xf.astype(jnp.int32)
         y0 = yf.astype(jnp.int32)
         fx = (xf - x0)[..., None]
         fy = (yf - y0)[..., None]
-        r00 = flat[idx * h + y0]
-        r01 = flat[idx * h + y0 + 1]
-        r10 = flat[(idx + 1) * h + y0]
-        r11 = flat[(idx + 1) * h + y0 + 1]
-        wn = w[..., None]
-        row_lo = (1 - wn) * r00 + wn * r10  # (N, 3w) at y0
-        row_hi = (1 - wn) * r01 + wn * r11  # (N, 3w) at y0+1
+        row_lo = None
+        row_hi = None
+        for p_idx, p_w in slices:
+            wn = p_w[..., None]
+            lo = wn * flat[p_idx * h + y0]
+            hi = wn * flat[p_idx * h + y0 + 1]
+            row_lo = lo if row_lo is None else row_lo + lo
+            row_hi = hi if row_hi is None else row_hi + hi
         chan_off = jnp.arange(3, dtype=jnp.int32) * wx  # (3,)
         jj0 = chan_off[None, :] + x0[..., None]  # (N, 3)
         lane = jnp.arange(w3, dtype=jnp.int32)
@@ -210,14 +252,14 @@ def _rgb_lookup(brdf: MeasuredBRDF, s: jnp.ndarray, theta_i):
             + v3 * fx * fy
         )
 
-    def chan(p_idx, c):
-        return _lookup_2d_batch(brdf.rgb[:, c], p_idx, s[..., 0], s[..., 1])
-
     out = []
     for c in range(3):
-        v0 = chan(idx, c)
-        v1 = chan(idx + 1, c)
-        out.append((1 - w) * v0 + w * v1)
+        acc = None
+        for p_idx, p_w in slices:
+            v = p_w * _lookup_2d_batch(brdf.rgb[:, c], p_idx, s[..., 0],
+                                       s[..., 1])
+            acc = v if acc is None else acc + v
+        out.append(acc)
     return jnp.stack(out, axis=-1)
 
 
@@ -270,8 +312,8 @@ def eval_brdf(brdf: MeasuredBRDF, wi: jnp.ndarray, wo: jnp.ndarray) -> jnp.ndarr
     u_x, u_y = _u_wm(theta_m, phi_m, phi_i)
     pos = jnp.stack([u_x, u_y], axis=-1)
 
-    s, _ = warp_invert(brdf.vndf, pos, theta_i)
-    fr = _rgb_lookup(brdf, s, theta_i)
+    s, _ = warp_invert(brdf.vndf, pos, theta_i, phi_i)
+    fr = _rgb_lookup(brdf, s, theta_i, phi_i)
 
     d = _lookup_2d(brdf.ndf, u_x, u_y)
     sig = _lookup_2d(brdf.sigma, theta2u(theta_i), phi2u(phi_i))
@@ -297,8 +339,8 @@ def pdf_brdf(brdf: MeasuredBRDF, wi: jnp.ndarray, wo: jnp.ndarray) -> jnp.ndarra
     u_x, u_y = _u_wm(theta_m, phi_m, phi_i)
     pos = jnp.stack([u_x, u_y], axis=-1)
 
-    s, vndf_pdf = warp_invert(brdf.vndf, pos, theta_i)
-    lum_pdf = warp_eval(brdf.luminance, s, theta_i)
+    s, vndf_pdf = warp_invert(brdf.vndf, pos, theta_i, phi_i)
+    lum_pdf = warp_eval(brdf.luminance, s, theta_i, phi_i)
     jac = _solid_angle_jacobian(u_x, theta_m, wo, wm)
     pdf = vndf_pdf * lum_pdf / jac
     return jnp.where(active, pdf, 0.0)
@@ -317,15 +359,15 @@ def eval_pdf_brdf(
     u_x, u_y = _u_wm(theta_m, phi_m, phi_i)
     pos = jnp.stack([u_x, u_y], axis=-1)
 
-    s, vndf_pdf = warp_invert(brdf.vndf, pos, theta_i)
-    fr = _rgb_lookup(brdf, s, theta_i)
+    s, vndf_pdf = warp_invert(brdf.vndf, pos, theta_i, phi_i)
+    fr = _rgb_lookup(brdf, s, theta_i, phi_i)
     d = _lookup_2d(brdf.ndf, u_x, u_y)
     sig = _lookup_2d(brdf.sigma, theta2u(theta_i), phi2u(phi_i))
     scale = d / jnp.maximum(4.0 * sig, 1e-12)
     fr = jnp.maximum(fr * scale[..., None], 0.0)
     fr = jnp.where(active[..., None], fr, 0.0)
 
-    lum_pdf = warp_eval(brdf.luminance, s, theta_i)
+    lum_pdf = warp_eval(brdf.luminance, s, theta_i, phi_i)
     jac = _solid_angle_jacobian(u_x, theta_m, wo, wm)
     pdf = jnp.where(active, vndf_pdf * lum_pdf / jac, 0.0)
     return fr, pdf
@@ -339,8 +381,8 @@ def sample_brdf(
     Returns (wo, pdf). Invalid (downward) results carry pdf 0.
     """
     theta_i, phi_i = _spherical(wi)
-    s, lum_pdf = warp_sample(brdf.luminance, u, theta_i)
-    u_wm, vndf_pdf = warp_sample(brdf.vndf, s, theta_i)
+    s, lum_pdf = warp_sample(brdf.luminance, u, theta_i, phi_i)
+    u_wm, vndf_pdf = warp_sample(brdf.vndf, s, theta_i, phi_i)
     theta_m = u2theta(u_wm[..., 0])
     phi_m = u2phi(u_wm[..., 1]) + phi_i
     st, ct = jnp.sin(theta_m), jnp.cos(theta_m)

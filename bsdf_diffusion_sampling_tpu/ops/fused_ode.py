@@ -439,7 +439,7 @@ def _compact_epilogue(out, block: int):
 
 
 def _disk_ode_loop(x_init, cond, w_ref, *, T, n_layers, tile, col, reverse,
-                   mxu):
+                   mxu, interleave=1):
     """T-step disk-domain Euler transport with the change-of-variables det,
     shared by the sample+pdf and pdf-query kernels. Returns (x_fin, det_fin)
     with x on blockcols 0:2 and the det product on blockcol 0 (other lanes
@@ -468,27 +468,44 @@ def _disk_ode_loop(x_init, cond, w_ref, *, T, n_layers, tile, col, reverse,
                        jnp.where(is1, 1.0, 0.0).astype(f32)])
     ws = _hoist_weights(w_ref, n_layers, mxu)
 
-    def body(t, carry, cond_c):
+    def body(t, carry, cond_c, is2f_c=is2f):
         s, tang = carry
         tt = t.astype(f32) if hasattr(t, "astype") else float(t)
         alpha = (1.0 - tt * h) if reverse else (tt * h)
         # s stays masked to blockcols 0:2 by construction (x0 is masked at
         # the draw and every update adds exact zeros outside 0:2)
-        inp = s + alpha * is2f + cond_c
+        inp = s + alpha * is2f_c + cond_c
         v, tz = _mlp_with_tangents(inp, tang, ws, mxu)
         return s + sign * h * v, tang + sign * h * tz
 
-    # NOTE(r3): an interleaved split-chain variant (2/4 independent
-    # row-chunk chains per tile so Mosaic could overlap one chain's VPU
-    # epilogue with another's matmuls — the serial matmul->silu->matmul
-    # dependency leaves each unit idle otherwise) was implemented and
-    # bit-exact in interpret mode, but the current Mosaic release SIGABRTs
-    # in ApplyVectorLayoutPass (`Check failed: limits[i] <= dim(i)`) on
-    # the restructured dataflow, and every crashed compile takes the
-    # tunneled dev TPU worker down for ~25 min. Removed until the
-    # toolchain can schedule it.
-
-    if T <= _UNROLL_T:
+    # Split-chain interleave (r4 re-land of the r3 attempt that SIGABRTed
+    # ApplyVectorLayoutPass): the serial matmul->silu->matmul dependency
+    # leaves the MXU idle during every VPU epilogue; with `interleave`
+    # independent row-chunk chains emitted in alternating program order,
+    # Mosaic can overlap one chain's VPU work with another's matmuls.
+    # Chunks are static sublane slices of the tile (layout-clean: tile
+    # and tile//interleave stay multiples of 8).
+    if interleave > 1 and T <= _UNROLL_T and tile % (8 * interleave) == 0:
+        h_rows = tile // interleave
+        chunks = [
+            (
+                x_init[c * h_rows : (c + 1) * h_rows],
+                tang0[:, c * h_rows : (c + 1) * h_rows],
+                cond[c * h_rows : (c + 1) * h_rows],
+            )
+            for c in range(interleave)
+        ]
+        states = [c[0] for c in chunks]
+        tangs = [c[1] for c in chunks]
+        conds = [c[2] for c in chunks]
+        is2f_c = is2f[:h_rows]
+        for t in range(T):
+            for c in range(interleave):
+                states[c], tangs[c] = body(t, (states[c], tangs[c]), conds[c],
+                                           is2f_c)
+        s_fin = jnp.concatenate(states, axis=0)
+        tang_fin = jnp.concatenate(tangs, axis=1)
+    elif T <= _UNROLL_T:
         carry = (x_init, tang0)
         for t in range(T):
             carry = body(t, carry, cond)
@@ -509,6 +526,7 @@ def _fused_sample_pdf_kernel(
     use_prng: bool,
     mxu_dtype: str = "bfloat16",
     compact: bool = False,
+    interleave: int = 1,
 ):
     mxu = jnp.dtype(mxu_dtype)
     if use_prng:
@@ -554,7 +572,7 @@ def _fused_sample_pdf_kernel(
     # ---- T-step ODE with per-step dets (disk layout: alpha at col 2)
     s_fin, det_fin = _disk_ode_loop(
         x0, cond, w_ref, T=T, n_layers=n_layers, tile=tile, col=col,
-        reverse=False, mxu=mxu,
+        reverse=False, mxu=mxu, interleave=interleave,
     )
 
     pdf = jnp.where(is0, jnp.exp(log_p0) / det_fin, 0.0)
@@ -567,16 +585,17 @@ def _fused_sample_pdf_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("T", "n_layers", "block", "tile", "use_prng", "mxu_dtype",
-                     "compact"),
+                     "compact", "interleave"),
 )
 def _fused_sample_pdf_call(seed, c_packed, eps_packed, bw_packed, w_packed, *,
                            T, n_layers, block, tile, use_prng,
-                           mxu_dtype="bfloat16", compact=False):
+                           mxu_dtype="bfloat16", compact=False, interleave=1):
     n_rows = c_packed.shape[0]
     grid = (n_rows // tile,)
     kernel = functools.partial(
         _fused_sample_pdf_kernel, T=T, n_layers=n_layers, block=block,
         use_prng=use_prng, mxu_dtype=mxu_dtype, compact=compact,
+        interleave=interleave,
     )
     rpo = (LANES // (LANES // block * _OUT_VALS)) if compact else 1
     tile_spec = pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)

@@ -31,7 +31,7 @@ from typing import Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from bsdf_diffusion_sampling_tpu.render.bvh import BVHArrays, intersect, occluded
+from bsdf_diffusion_sampling_tpu.render.bvh import BVHArrays, Hit, intersect, occluded
 from bsdf_diffusion_sampling_tpu.render.bvh8 import BVH8Arrays
 from bsdf_diffusion_sampling_tpu.render.traverse8 import intersect8, occluded8
 from bsdf_diffusion_sampling_tpu.render.camera import accumulate_film, generate_rays
@@ -73,16 +73,54 @@ def _as_tuple(matball) -> tuple:
     return (matball,) if isinstance(matball, MatballFns) else tuple(matball)
 
 
-def _isect(accel, ro, rd, active):
+def _isect(accel, ro, rd, active, mesh=None):
     """Closest-hit dispatch: packet kernel for an 8-wide accel (TPU
     production path, render/traverse8.py), binary lockstep otherwise
-    (CPU/oracle). Both return the same Hit contract."""
+    (CPU/oracle). Both return the same Hit contract.
+
+    With a `mesh`, traversal runs under shard_map: each shard walks ITS
+    rays against the replicated accel, so the traversal while_loop's
+    stack scatters and termination test stay device-local. Left to GSPMD,
+    the scatter indices were all-gathered and the loop condition
+    all-reduced EVERY lockstep iteration (found by benchmarks/scaling.py's
+    collective audit) — per-iteration cross-chip traffic in what should
+    be an embarrassingly parallel loop. Traversal draws no randomness, so
+    sharded results stay bit-equal to single-device
+    (tests/test_render_sharded.py)."""
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(mesh.axis_names[0])
+
+        def local(a, ro_, rd_, act):
+            h = intersect(a, ro_, rd_, active=act)
+            return h.t, h.prim, h.u, h.v
+
+        t, prim, u, v = shard_map(
+            local, mesh=mesh, in_specs=(P(), spec, spec, spec),
+            out_specs=spec, check_vma=False,
+        )(accel, ro, rd, active)
+        return Hit(t, prim, u, v, False)
     if isinstance(accel, BVH8Arrays):
         return intersect8(accel, ro, rd, active=active)
     return intersect(accel, ro, rd, active=active)
 
 
-def _occl(accel, ro, rd, t_max, active):
+def _occl(accel, ro, rd, t_max, active, mesh=None):
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(mesh.axis_names[0])
+
+        def local(a, ro_, rd_, tm, act):
+            return occluded(a, ro_, rd_, tm, active=act)
+
+        return shard_map(
+            local, mesh=mesh, in_specs=(P(), spec, spec, spec, spec),
+            out_specs=spec, check_vma=False,
+        )(accel, ro, rd, t_max, active)
     if isinstance(accel, BVH8Arrays):
         return occluded8(accel, ro, rd, t_max, active=active)
     return occluded(accel, ro, rd, t_max, active=active)
@@ -168,7 +206,7 @@ def _ball_filter(matballs: tuple, mat_id, w_rgb):
     return out
 
 
-@partial(jax.jit, static_argnames=("matball",))
+@partial(jax.jit, static_argnames=("matball", "mesh"))
 def _bounce_program(
     bvh: BVHArrays,
     env: EnvMap,
@@ -178,6 +216,7 @@ def _bounce_program(
     depth,
     *,
     matball: tuple,
+    mesh=None,
 ):
     """ONE path-tracing bounce for the whole wavefront — the per-bounce
     "megakernel call" of the reference (`brdf_measured_disk.py:66`), as a
@@ -199,7 +238,7 @@ def _bounce_program(
     n = ro.shape[0]
     k_nee, k_bsdf, k_rr = jax.random.split(jax.random.fold_in(key, depth), 3)
 
-    hit = _isect(bvh, ro, rd, alive)
+    hit = _isect(bvh, ro, rd, alive, mesh)
     miss = hit.t >= 1e29
 
     # escaped rays collect the envmap, MIS-weighted against the
@@ -255,7 +294,7 @@ def _bounce_program(
         wo_nee_l[..., 2] >= 0, RAY_EPS, -RAY_EPS
     )[..., None]
     nee_cand = alive & (pdf_e > 1e-9) & ((wo_nee_l[..., 2] > 0) | trans_mask)
-    occ = _occl(bvh, shadow_o, d_env, jnp.full((n,), 1e6), nee_cand)
+    occ = _occl(bvh, shadow_o, d_env, jnp.full((n,), 1e6), nee_cand, mesh)
     nee_ok = nee_cand & ~occ
     contrib = beta * f_nee * (le_nee / jnp.maximum(pdf_e, 1e-9)[..., None])
     contrib = contrib * mis_weight(pdf_e, pdf_b_at_nee)[..., None]
@@ -276,7 +315,7 @@ def _bounce_program(
             wo_light_l[..., 2] >= 0, RAY_EPS, -RAY_EPS
         )[..., None]
         cand = alive & ((wo_light_l[..., 2] > 0) | trans_mask)
-        occ_l = _occl(bvh, sh_o, d_l, dist - 2 * RAY_EPS, cand)
+        occ_l = _occl(bvh, sh_o, d_l, dist - 2 * RAY_EPS, cand, mesh)
         lvis = cand & ~occ_l
         contrib_l = beta * f_l * (inten[None, :] / (dist * dist)[..., None])
         L = L + jnp.where(lvis[..., None], contrib_l, 0.0)
@@ -375,7 +414,7 @@ def render_pass(
 
     for depth in range(max_depth):
         state = _bounce_program(bvh, env, lights, state, k_path, depth,
-                                matball=matball)
+                                matball=matball, mesh=mesh)
     px, L = state[2], state[3]
     return _finish_pass(px, L, width=width, height=height)
 

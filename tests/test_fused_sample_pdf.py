@@ -169,3 +169,28 @@ def test_neural_pdf_exact_through_renderer_path(key):
     ok = np.asarray(pdf_s) > 1e-6
     rel = np.abs(np.asarray(pdf_q)[ok] / np.asarray(pdf_s)[ok] - 1.0)
     assert np.median(rel) < 1e-3, np.median(rel)
+
+
+def test_interleaved_chains_bit_match(key):
+    """interleave=2/4 must match the single-chain kernel exactly (same
+    math, different emission order)."""
+    cfg, v_params, base, b_params, omega_i, cond = _setup(key)
+    T = 4
+    eps = jax.random.normal(jax.random.fold_in(key, 9), (cond.shape[0], 2))
+    from bsdf_diffusion_sampling_tpu.ops.fused_ode import (
+        _fused_sample_pdf_call,
+        pack_sample_pdf_inputs,
+    )
+
+    c_pk, eps_pk, bw_pk, w_pk, block, _ = pack_sample_pdf_inputs(
+        v_params, b_params, cond, 16, eps)
+    out1 = _fused_sample_pdf_call(
+        jnp.zeros((1, 1), jnp.int32), c_pk, eps_pk, bw_pk, w_pk,
+        T=T, n_layers=len(v_params), block=block, tile=16, use_prng=False,
+        compact=True)
+    for c in (2, 4):
+        outc = _fused_sample_pdf_call(
+            jnp.zeros((1, 1), jnp.int32), c_pk, eps_pk, bw_pk, w_pk,
+            T=T, n_layers=len(v_params), block=block, tile=16, use_prng=False,
+            compact=True, interleave=c)
+        np.testing.assert_array_equal(np.asarray(outc), np.asarray(out1))
