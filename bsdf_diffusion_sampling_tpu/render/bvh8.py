@@ -20,12 +20,11 @@ the axis rides in the parent's packed meta so the kernel can order its
 stack pushes by the packet's majority ray-direction sign (near-first pop).
 
 Unified row table (float32, 128 lanes per row):
-  node row:  lanes 0:3 lo, 3:6 hi, 12 meta, 13 unused
+  node row:  lanes 0:3 lo, 3:6 hi, 12 child base row, 13 flags
   tri row:   lanes 0:3 v0, 3:6 e1, 6:9 e2, 9 prim_id
-  meta = (base << 7) | (count << 3) | (axis << 1) | is_leaf, stored as f32
-  (exact: base < 2^17 rows, fits f32's 24-bit mantissa). For a node,
-  rows [base, base+count) are its children's node rows; for a leaf they
-  are tri rows.
+  flags = ((count-1) << 3) | (axis << 1) | is_leaf; base exact as f32 up
+  to 2^24 rows. For a node, rows [base, base+count) are its children's
+  node rows; for a leaf they are tri rows.
 """
 
 from __future__ import annotations
@@ -39,9 +38,13 @@ from bsdf_diffusion_sampling_tpu.render.mesh import TriangleSoup
 
 MAX_LEAF8 = 8
 ROW_LANES = 128
-META_BASE_SHIFT = 7
-META_COUNT_SHIFT = 3
-META_AXIS_SHIFT = 1
+# packed stack-entry/meta word (int32): low 25 bits = base row, then
+# (count-1) << 3 | axis << 1 | leaf in bits 25..30 (sign bit untouched).
+# In the TABLE the word is split over two f32 lanes — lane 12 carries the
+# base (exact as f32 up to 2^24 rows), lane 13 the 6 flag bits — because
+# one f32 mantissa cannot hold 25 + 6 bits.
+META_BASE_BITS = 25
+META_FLAGS_SHIFT = 25
 # stack entries per packet in the kernel; collapse keeps depth small
 # (arity-8 over ~10k fat leaves => depth ~5), each level pushes <= 8
 STACK8_DEPTH = 64
@@ -71,10 +74,14 @@ class BVH8Arrays(NamedTuple):
     attr_rows: jnp.ndarray | None = None
 
 
+def pack_flags(count: int, axis: int, leaf: bool) -> int:
+    assert 0 < count <= 8 and 0 <= axis < 4
+    return ((count - 1) << 3) | (axis << 1) | int(leaf)
+
+
 def pack_meta(base: int, count: int, axis: int, leaf: bool) -> int:
-    assert 0 <= base < (1 << 17) and 0 < count <= 8 and 0 <= axis < 4
-    return (base << META_BASE_SHIFT) | (count << META_COUNT_SHIFT) | (
-        axis << META_AXIS_SHIFT) | int(leaf)
+    assert 0 <= base < (1 << META_BASE_BITS)
+    return (pack_flags(count, axis, leaf) << META_FLAGS_SHIFT) | base
 
 
 def build_bvh8(soup: TriangleSoup, max_leaf: int = MAX_LEAF8) -> BVH8Arrays:
@@ -192,9 +199,10 @@ def build_bvh8(soup: TriangleSoup, max_leaf: int = MAX_LEAF8) -> BVH8Arrays:
     n_rows = n_node_rows + n_prims
     # pad so any 8-row DMA window stays in bounds
     n_rows_padded = ((n_rows + 7) // 8) * 8 + 8
-    if n_rows_padded >= (1 << 17):
+    if n_rows_padded >= (1 << 24):
         raise ValueError(
-            f"BVH8 table has {n_rows_padded} rows; packed meta supports < 2^17"
+            f"BVH8 table has {n_rows_padded} rows; the f32 base lane is "
+            "exact only below 2^24"
         )
     table = np.zeros((n_rows_padded, ROW_LANES), np.float32)
 
@@ -212,11 +220,14 @@ def build_bvh8(soup: TriangleSoup, max_leaf: int = MAX_LEAF8) -> BVH8Arrays:
         table[row, 0:3] = bb_min[i]
         table[row, 3:6] = bb_max[i]
         if is_fat_leaf(i) or count[i] > 0:
-            meta = pack_meta(tri0 + int(first[i]), int(nprims[i]), 0, True)
+            base_v = tri0 + int(first[i])
+            flags_v = pack_flags(int(nprims[i]), 0, True)
         else:
             kids, axis = child_info[i]
-            meta = pack_meta(row_of[kids[0]], len(kids), axis, False)
-        table[row, 12] = float(meta)
+            base_v = row_of[kids[0]]
+            flags_v = pack_flags(len(kids), axis, False)
+        table[row, 12] = float(base_v)
+        table[row, 13] = float(flags_v)
 
     # root_meta always describes an INNER block (the kernel slab-tests its
     # rows as node rows) — a single-fat-leaf scene becomes a one-child

@@ -36,9 +36,10 @@ from bsdf_diffusion_sampling_tpu.ode import ode_pdf, ode_sample
 from bsdf_diffusion_sampling_tpu.ops.fused_ode import (
     fused_pdf_disk_packed,
     fused_sample_pdf_disk_packed,
+    fused_sample_pdf_spherical_packed,
     fused_transport_packed,
     prepack_disk,
-    prepack_velocity,
+    prepack_spherical,
 )
 
 
@@ -95,7 +96,7 @@ def make_neural_bsdf(
         packed = (
             prepack_disk(v_params, base_params)
             if domain == "disk"
-            else prepack_velocity(v_params)
+            else prepack_spherical(v_params, base_params)
         )
     return NeuralBSDF(
         domain=domain,
@@ -142,12 +143,27 @@ def _sample_x_pdf(nb: NeuralBSDF, key, omega_i, cond):
                 nb.packed, cond, 0, nb.T, tile=nb.tile, eps=eps
             )
         return x, pdf
-    base = get_base(nb.domain)
-    x0 = base.sample(nb.base_params, omega_i, key)
-    p0 = jnp.exp(base.log_prob(nb.base_params, x0, omega_i))
-    x, det = fused_transport_packed(nb.packed, "spherical", x0, cond, nb.T,
-                                    tile=nb.tile)
-    return x, p0 / det
+    # spherical: the WHOLE sample+pdf runs in one kernel — base heads,
+    # Gaussian theta + in-kernel Best-Fisher von Mises phi, transport,
+    # p0/det (`network_sampling_spherical`, mlp_brdf_sampling.py:106-140)
+    if nb.in_kernel_prng:
+        seed = jax.random.bits(key, dtype=jnp.uint32).astype(jnp.int32)
+        x, pdf, _ = fused_sample_pdf_spherical_packed(
+            nb.packed, cond, seed, nb.T, tile=nb.tile)
+        return x, pdf
+    # key-exact path (CPU/interpret parity): replicate the XLA base
+    # draw's key consumption, pass (eps_gauss, phi) into the kernel
+    from bsdf_diffusion_sampling_tpu.models.base_density import _spherical_heads
+    from bsdf_diffusion_sampling_tpu.models.von_mises import von_mises_sample
+
+    k_gauss, k_von = jax.random.split(key)
+    loc, _, loc_von, conc = _spherical_heads(nb.base_params, omega_i)
+    eps_g = jax.random.normal(k_gauss, loc.shape, loc.dtype)
+    phi = von_mises_sample(k_von, loc_von, conc)
+    x, pdf, _ = fused_sample_pdf_spherical_packed(
+        nb.packed, cond, 0, nb.T, tile=nb.tile,
+        eps=jnp.stack([eps_g, phi], axis=-1))
+    return x, pdf
 
 
 def _pdf_query(nb: NeuralBSDF, x, omega_i, cond):
@@ -180,7 +196,8 @@ def _pdf_query(nb: NeuralBSDF, x, omega_i, cond):
                              omega_i, cond, nb.T,
                              newton_iters=nb.pdf_newton_iters)
     base = get_base(nb.domain)
-    x0, det = fused_transport_packed(nb.packed, "spherical", x, cond, nb.T,
+    vel_packed = (nb.packed[0], nb.packed[2], nb.packed[3])
+    x0, det = fused_transport_packed(vel_packed, "spherical", x, cond, nb.T,
                                      reverse=True, tile=nb.tile)
     p0 = jnp.exp(base.log_prob(nb.base_params, x0, omega_i))
     return p0 * det

@@ -41,11 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 from bsdf_diffusion_sampling_tpu.render.bvh import Hit
 from bsdf_diffusion_sampling_tpu.render.bvh8 import (
     BVH8Arrays,
-    META_AXIS_SHIFT,
-    META_BASE_SHIFT,
-    META_COUNT_SHIFT,
+    META_BASE_BITS,
+    META_FLAGS_SHIFT,
     STACK8_DEPTH,
 )
+
+_BASE_MASK = (1 << META_BASE_BITS) - 1
 
 _INF = 1e30
 _INTERPRET = False  # flipped by tests on CPU
@@ -80,11 +81,12 @@ def _turn(
         )
 
     m = cur[g]
-    base = m >> META_BASE_SHIFT
+    base = m & _BASE_MASK
     dma(base).wait()
-    cnt = (m >> META_COUNT_SHIFT) & 15
-    axis = (m >> META_AXIS_SHIFT) & 3
-    is_leaf = (m & 1) > 0
+    flags = m >> META_FLAGS_SHIFT
+    cnt = ((flags >> 3) & 7) + 1
+    axis = (flags >> 1) & 3
+    is_leaf = (flags & 1) > 0
 
     b = blk[g]  # (8, 128)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
@@ -187,7 +189,8 @@ def _turn(
                                     keepdims=True)
         pow2 = jnp.left_shift(jnp.int32(1), k_iota)  # (8, 1)
         bits = jnp.sum(jnp.where((total > 0) & kmask, pow2, 0))  # scalar sync
-        metas = b[:, 12:13]  # (8, 1) packed meta as f32
+        bases = b[:, 12:13]  # (8, 1) child base rows as f32
+        flagv = b[:, 13:14]  # (8, 1) child flag bits as f32
 
         sign_pos = signs[g, axis] > 0
 
@@ -200,7 +203,11 @@ def _turn(
 
                 @pl.when(bit > 0)
                 def _():
-                    stack[g, slot] = metas[c, 0].astype(jnp.int32)
+                    stack[g, slot] = (
+                        jnp.left_shift(flagv[c, 0].astype(jnp.int32),
+                                       META_FLAGS_SHIFT)
+                        | bases[c, 0].astype(jnp.int32)
+                    )
 
                 ptr = jnp.minimum(ptr + bit, STACK8_DEPTH - 1)
             sptr[g] = ptr
@@ -228,7 +235,7 @@ def _turn(
         nxt = stack[g, ptr - 1]
         sptr[g] = ptr - 1
         cur[g] = nxt
-        dma(nxt >> META_BASE_SHIFT).start()
+        dma(nxt & _BASE_MASK).start()
 
     return jnp.where(has_next, jnp.int32(0), jnp.int32(1))
 
@@ -285,7 +292,7 @@ def _traverse_kernel(
         @pl.when(slot_live)
         def _():
             pltpu.make_async_copy(
-                table.at[pl.ds(root >> META_BASE_SHIFT, 8), :],
+                table.at[pl.ds(root & _BASE_MASK, 8), :],
                 blk.at[g],
                 sem.at[g],
             ).start()
@@ -338,7 +345,7 @@ def _traverse_kernel(
         @pl.when((jnp.right_shift(done_fin, g) & 1) == 0)
         def _():
             pltpu.make_async_copy(
-                table.at[pl.ds(cur[g] >> META_BASE_SHIFT, 8), :],
+                table.at[pl.ds(cur[g] & _BASE_MASK, 8), :],
                 blk.at[g],
                 sem.at[g],
             ).wait()

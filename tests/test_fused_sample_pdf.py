@@ -194,3 +194,57 @@ def test_interleaved_chains_bit_match(key):
             T=T, n_layers=len(v_params), block=block, tile=16, use_prng=False,
             compact=True, interleave=c)
         np.testing.assert_array_equal(np.asarray(outc), np.asarray(out1))
+
+
+def test_fused_spherical_sample_pdf_matches_xla(key):
+    """One-kernel spherical sample+pdf (eps path: same key consumption as
+    the XLA oracle) must match ode_sample exactly — VERDICT r3 item 3."""
+    from bsdf_diffusion_sampling_tpu.models.base_density import _spherical_heads
+    from bsdf_diffusion_sampling_tpu.models.von_mises import von_mises_sample
+    from bsdf_diffusion_sampling_tpu.ode import ode_sample
+    from bsdf_diffusion_sampling_tpu.ops.fused_ode import (
+        fused_sample_pdf_spherical_packed,
+        prepack_spherical,
+    )
+
+    cfg = ModelConfig(domain="spherical", velocity_hidden=32,
+                      velocity_layers=4)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    v_params = jax.tree.map(lambda w: w * 0.5, velocity_init(k1, cfg))
+    base = get_base("spherical")
+    b_params = base.init(k2)
+    n = 700
+    omega_i = jnp.stack(
+        [jax.random.uniform(k3, (n,), minval=0.1, maxval=1.4),
+         jax.random.uniform(jax.random.fold_in(k3, 1), (n,), minval=-3.0,
+                            maxval=3.0)], axis=-1)
+    cond = encode_condition(omega_i, cfg)
+    T = 8
+
+    # replicate the XLA base draw's key consumption exactly
+    k_draw = k4
+    k_gauss, k_von = jax.random.split(k_draw)
+    loc, ls, loc_von, conc = _spherical_heads(b_params, omega_i)
+    eps_g = jax.random.normal(k_gauss, loc.shape, loc.dtype)
+    phi = von_mises_sample(k_von, loc_von, conc)
+    eps2 = jnp.stack([eps_g, phi], axis=-1)
+
+    packed = prepack_spherical(v_params, b_params)
+    x_f, pdf_f, x0_f = fused_sample_pdf_spherical_packed(
+        packed, cond, 0, T, tile=8, eps=eps2)
+    x_r, pdf_r = ode_sample("spherical", v_params, b_params, omega_i, cond,
+                            k_draw, T)
+    # base draw itself must be exact
+    x0_ref = base.sample(b_params, omega_i, k_draw)
+    np.testing.assert_allclose(np.asarray(x0_f), np.asarray(x0_ref),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pdf_f), np.asarray(pdf_r),
+                               rtol=5e-4, atol=1e-7)
+
+    # production wiring: the whole sample+pdf is ONE pallas_call
+    jaxpr = str(jax.make_jaxpr(
+        lambda c: fused_sample_pdf_spherical_packed(packed, c, 0, T, tile=8,
+                                                    eps=eps2))(cond))
+    assert jaxpr.count("pallas_call") == 1
