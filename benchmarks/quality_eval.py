@@ -1,0 +1,139 @@
+"""Quality metrics for a trained checkpoint vs the measured oracle.
+
+The reference's quality instrument is KL(learned pdf || GT pdf) on 2-D
+grids (`/root/reference/learning_repo_cleanup/utils/utils.py:206-211`).
+This harness loads one cli.train checkpoint (final.npz) and, for a band
+of incident directions, compares the rectified sampler against the
+measured-BSDF oracle density on the disk:
+
+  - KL(sample-histogram || oracle pdf grid): are draws placed where the
+    material actually scatters;
+  - KL(oracle-normalized grid || learned pdf grid): does the learned pdf
+    cover the oracle;
+  - sample<->pdf consistency of the trained sampler itself.
+
+Prints one JSON line per omega_i plus a summary; --save writes the rows.
+
+Usage:
+  python -u benchmarks/quality_eval.py \
+      --checkpoint checkpoints/chm_mint_disk_r04/final.npz \
+      --material chm_mint_rgb --save benchmarks/results/quality_r04.json
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+
+import numpy as np
+
+BSDF_DIR = "/root/reference/rendering/measuredbsdfs"
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--material", default="chm_mint_rgb")
+    p.add_argument("--teacher", action="store_true",
+                   help="evaluate the diffusion (teacher) net instead of "
+                        "the rectified student")
+    p.add_argument("--T", type=int, default=4)
+    p.add_argument("--bins", type=int, default=48)
+    p.add_argument("--n-samples", type=int, default=1 << 18)
+    p.add_argument("--save", default="")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from bsdf_diffusion_sampling_tpu.bsdf import eval_lum, load_measured
+    from bsdf_diffusion_sampling_tpu.core.config import ModelConfig
+    from bsdf_diffusion_sampling_tpu.geometry.coords import disk_to_cart
+    from bsdf_diffusion_sampling_tpu.models import get_base, velocity_init
+    from bsdf_diffusion_sampling_tpu.models.velocity import encode_condition
+    from bsdf_diffusion_sampling_tpu.ode import ode_pdf_exact, ode_sample
+    from bsdf_diffusion_sampling_tpu.train import checkpoint as ckpt
+    from bsdf_diffusion_sampling_tpu.utils.validation import (
+        histogram_grid_2d,
+        kl_divergence_grid,
+        pdf_grid_2d,
+    )
+
+    cfg = ModelConfig(domain="disk")
+    base = get_base("disk")
+    template = {
+        "base": base.init(jax.random.key(0)),
+        "diffusion": velocity_init(jax.random.key(0), cfg),
+        "teacher": velocity_init(jax.random.key(0), cfg),
+        "rectified": velocity_init(jax.random.key(0), cfg),
+    }
+    params, step = ckpt.load_pytree(args.checkpoint, template)
+    net = params["diffusion"] if args.teacher else params["rectified"]
+    brdf = load_measured(os.path.join(BSDF_DIR, args.material + ".bsdf"))
+
+    def oracle_disk(wi2, pts):
+        wi_c = disk_to_cart(jnp.broadcast_to(wi2, pts.shape))
+        wo_c = disk_to_cart(pts)
+        return eval_lum(brdf, wi_c, wo_c) / jnp.maximum(wo_c[:, 2], 1e-3)
+
+    lo, hi = (-1.0, -1.0), (1.0, 1.0)
+    rows = []
+    key = jax.random.key(17)
+    for i, r in enumerate((0.1, 0.3, 0.5, 0.7)):
+        wi2 = jnp.array([r, 0.0], jnp.float32)
+        n = args.n_samples
+        omega_i = jnp.broadcast_to(wi2, (n, 2))
+        cond = encode_condition(omega_i, cfg)
+        x, pdf_s = ode_sample("disk", net, params["base"], omega_i, cond,
+                              jax.random.fold_in(key, i), args.T)
+        x_np = np.asarray(x)
+        inside = (x_np**2).sum(-1) < 1.0
+        hist = histogram_grid_2d(x_np[inside], lo, hi, args.bins)
+        oracle = pdf_grid_2d(lambda pts: oracle_disk(wi2, pts), lo, hi,
+                             args.bins)
+        learned = pdf_grid_2d(
+            lambda pts: ode_pdf_exact("disk", net, params["base"], pts,
+                                      jnp.broadcast_to(wi2, pts.shape),
+                                      encode_condition(
+                                          jnp.broadcast_to(wi2, pts.shape),
+                                          cfg),
+                                      args.T),
+            lo, hi, args.bins)
+        kl_hist = kl_divergence_grid(hist, oracle)
+        kl_pdf = kl_divergence_grid(oracle, learned)
+        q = np.asarray(ode_pdf_exact("disk", net, params["base"], x[:4096],
+                                     omega_i[:4096], cond[:4096], args.T))
+        ps = np.asarray(pdf_s[:4096])
+        ok = ps > 1e-6
+        consist = float(np.median(np.abs(q[ok] / ps[ok] - 1.0)))
+        row = {"wi_r": r, "kl_hist_vs_oracle": round(kl_hist, 4),
+               "kl_oracle_vs_learned_pdf": round(kl_pdf, 4),
+               "sample_pdf_median_rel": round(consist, 6),
+               "inside_frac": round(float(inside.mean()), 4)}
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+
+    summary = {
+        "checkpoint": args.checkpoint, "step": step,
+        "material": args.material, "T": args.T,
+        "net": "diffusion" if args.teacher else "rectified",
+        "mean_kl_hist": round(float(np.mean(
+            [r["kl_hist_vs_oracle"] for r in rows])), 4),
+        "rows": rows,
+    }
+    print(json.dumps({k: v for k, v in summary.items() if k != "rows"}),
+          flush=True)
+    if args.save:
+        os.makedirs(os.path.dirname(args.save) or ".", exist_ok=True)
+        with open(args.save, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {args.save}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -74,7 +74,15 @@ def main(argv=None):
     p.add_argument("--quick", action="store_true",
                    help="256x256 @ 16 spp, no artifacts")
     p.add_argument("--modes", nargs="+", default=["gt", "neural-disk"],
-                   choices=["gt", "neural-disk", "neural-spherical"])
+                   choices=["gt", "neural-disk", "neural-spherical",
+                            "neural-sphere"])
+    p.add_argument("--scene", default=SCENE,
+                   help="scene XML (scene_measured for measured modes, "
+                        "scene_bsdf for neural-sphere)")
+    p.add_argument("--material", default=MATERIAL)
+    p.add_argument("--checkpoint", default="",
+                   help="cli.train final.npz for the neural modes; empty = "
+                        "import the upstream reference .pth checkpoints")
     p.add_argument("--cpu", action="store_true",
                    help="pin the CPU backend (the axon plugin overrides "
                         "JAX_PLATFORMS; this uses jax.config, the only "
@@ -95,39 +103,31 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from bsdf_diffusion_sampling_tpu.bsdf import load_measured
-    from bsdf_diffusion_sampling_tpu.core.config import ModelConfig
-    from bsdf_diffusion_sampling_tpu.interop.torch_checkpoints import (
-        import_reference_material,
-    )
-    from bsdf_diffusion_sampling_tpu.render.integrator import (
-        measured_matball,
-        neural_matball,
-    )
-    from bsdf_diffusion_sampling_tpu.render.neural import make_neural_bsdf
     from bsdf_diffusion_sampling_tpu.render.scene import load_scene
 
-    scene = load_scene(SCENE, width=args.width, height=args.height)
-    brdf = load_measured(BSDF)
+    import argparse as _ap
+
+    from bsdf_diffusion_sampling_tpu.cli.render import build_matball
+
+    scene = load_scene(args.scene, width=args.width, height=args.height)
     n_rays = args.width * args.height * args.spp
 
     results = {}
     images = {}
     for mode in args.modes:
-        if mode == "gt":
-            mb = measured_matball(brdf)
-        else:
-            domain = {"neural-disk": "disk",
-                      "neural-spherical": "spherical"}[mode]
-            ck = import_reference_material(CKPTS, MATERIAL, domain)
-            if domain == "disk":
-                cfg = ModelConfig(domain="disk")
-            else:
-                cfg = ModelConfig(domain=domain, velocity_hidden=32,
-                                  velocity_layers=4)
-            nb = make_neural_bsdf(domain, cfg, ck["rectified"], ck["base"],
-                                  brdf)
-            mb = neural_matball(nb)
+        # reuse the render CLI's matball wiring (same per-ball logic for
+        # measured, principled-table, and all three neural domains)
+        ns = _ap.Namespace(
+            mode=mode, material=args.material,
+            bsdf_dir=os.path.dirname(BSDF),
+            checkpoint=args.checkpoint,
+            weights="checkpoint" if args.checkpoint else "reference",
+            reference_ckpts=CKPTS, allow_substitute=False,
+        )
+        balls = [dict(b) for b in scene.desc.matballs]
+        if len(balls) == 1 and balls[0]["idx"] < 0:
+            balls[0]["filename"] = args.material
+        mb = tuple(build_matball(b, ns) for b in balls)
         img, dt = _render_timed(scene, mb, seed=args.seed, spp=args.spp,
                                 spp_chunk=args.spp_chunk,
                                 max_depth=args.max_depth,

@@ -1529,13 +1529,13 @@ def make_fused_sample_pdf_spherical(
     tile: int = 256,
     mxu_dtype: str = "bfloat16",
 ):
-    """Spherical-domain sample+pdf closure: the Gaussian(theta) x
-    von-Mises(phi) base draw runs as one jitted XLA program (the Best-
-    Fisher rejection sampler does not map to an in-kernel Pallas loop the
-    way the disk's Box-Muller does), then the T-step transport + det
-    accumulation runs in the fused Pallas kernel. Returns
-    ``run(key) -> (x, pdf)``. Counterpart of `network_sampling_spherical`
-    (`mlp_brdf_sampling.py:106-140`)."""
+    """Spherical-domain sample+pdf closure with a fixed wavefront: the
+    base draw runs as a jitted XLA program, the transport in the fused
+    kernel. SUPERSEDED for production by
+    `fused_sample_pdf_spherical_packed`, which fuses the base draw
+    in-kernel as well (r4); kept as the key-exact two-program variant for
+    fixed-cond callers. Returns ``run(key) -> (x, pdf)``. Counterpart of
+    `network_sampling_spherical` (`mlp_brdf_sampling.py:106-140`)."""
     transport = make_fused_transport(
         "spherical", v_params, cond_enc, T, tile=tile, mxu_dtype=mxu_dtype
     )
