@@ -23,7 +23,7 @@ narrow-minor-dim lane relayout on the consumer side, which the rays/s
 render benchmark accounts for where it actually occurs. Rounds 1-2 timed
 a 2-dispatch variant that additionally materialized the narrow slices at
 a jit boundary (~6 ms, never paid in production). BENCH_TILE overrides
-the batch tile (default 1024; kprobe r3: 2048 is ~4% faster).
+the batch tile (default 2048; measured +3.5% over 1024, r4).
 
 Timing discipline for the tunneled dev backend:
 - no eager jnp ops inside the measured loop (each eager dispatch costs
@@ -146,10 +146,14 @@ def main() -> None:
         f"fused pdf diverges from XLA oracle ON CHIP: median rel "
         f"{np.median(rel):.4f}, p99 {np.quantile(rel, 0.99):.4f}")
 
-    bench_tile = int(os.environ.get("BENCH_TILE", "1024"))
+    bench_tile = int(os.environ.get("BENCH_TILE", "2048"))
     # split-chain interleave (ops/fused_ode.py _disk_ode_loop): emit C
     # independent row-chunk chains in alternating program order so Mosaic
     # can overlap VPU epilogues with matmuls. A/B with BENCH_INTERLEAVE.
+    # r4 status: bit-exact in interpret mode, but the interleaved
+    # production kernel's remote compile hangs past 9 minutes on the
+    # current Mosaic (r3 saw SIGABRT on the same dataflow) — default 1
+    # until the toolchain can schedule it.
     interleave = int(os.environ.get("BENCH_INTERLEAVE", "1"))
 
     if use_xla:
