@@ -64,7 +64,7 @@ def main(argv=None):
     p.add_argument("--spp", type=int, default=64)
     p.add_argument("--spp-chunk", type=int, default=4)
     p.add_argument("--max-depth", type=int, default=4)
-    p.add_argument("--max-rays", type=int, default=1 << 16,
+    p.add_argument("--max-rays", type=int, default=1 << 17,
                    help="wavefront cap per pass-tile. r04: the packet "
                         "traversal kernel runs 2^16-ray wavefronts "
                         "routinely (the r03 lockstep-BVH worker crashes "

@@ -443,7 +443,9 @@ def render(
 
     w, h = scene.camera.width, scene.camera.height
     if max_rays_per_pass is None and jax.default_backend() == "tpu":
-        max_rays_per_pass = 1 << 16
+        max_rays_per_pass = 1 << 17  # +7% over 2^16 (r04); stable with
+        # the packet traversal kernel (the r03 2^16 cap guarded the
+        # binary-traversal worker crashes, gone with that code path)
     if max_rays_per_pass is not None:
         rows_per_tile = max(1, max_rays_per_pass // (w * spp_chunk))
     else:
