@@ -33,6 +33,10 @@ class EnvMap(NamedTuple):
     warp: Warp2D  # sampling distribution over (u, v)
     to_world: jnp.ndarray  # (3, 3) rotation env->world
     to_local: jnp.ndarray  # (3, 3) world->env
+    # x-adjacent texel pairs, (H, W, 6): [c(y,x), c(y,x+1 clamped)] — one
+    # row gather serves both x-corners of the bilinear fetch (TPU gathers
+    # are row-count bound), so eval_env costs 2 gathered rows instead of 4
+    data_pairs: jnp.ndarray | None = None
 
 
 def envmap_from_image(img: np.ndarray, to_world: np.ndarray | None = None) -> EnvMap:
@@ -46,11 +50,16 @@ def envmap_from_image(img: np.ndarray, to_world: np.ndarray | None = None) -> En
     grid = lum * np.sin(theta)[:, None]
     warp = build_warp2d(grid[None], np.array([0.0]))
     r = np.eye(3, dtype=np.float32) if to_world is None else to_world[:3, :3]
+    img32 = np.asarray(img, np.float32)
+    pairs = np.concatenate(
+        [img32, img32[:, np.minimum(np.arange(w) + 1, w - 1)]], axis=-1
+    )
     return EnvMap(
         data=jnp.asarray(img),
         warp=warp,
         to_world=jnp.asarray(r, jnp.float32),
         to_local=jnp.asarray(np.linalg.inv(r), jnp.float32),
+        data_pairs=jnp.asarray(pairs),
     )
 
 
@@ -92,6 +101,12 @@ def eval_env(env: EnvMap, d_world: jnp.ndarray) -> jnp.ndarray:
     y0 = y.astype(jnp.int32)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
+    if env.data_pairs is not None:
+        lo = env.data_pairs[y0, x0]  # (N, 6): c(y0,x0) | c(y0,x0+1)
+        hi = env.data_pairs[jnp.minimum(y0 + 1, h - 1), x0]
+        row_lo = lo[..., 0:3] * (1 - fx) + lo[..., 3:6] * fx
+        row_hi = hi[..., 0:3] * (1 - fx) + hi[..., 3:6] * fx
+        return row_lo * (1 - fy) + row_hi * fy
     c00 = env.data[y0, x0]
     c01 = env.data[y0, jnp.minimum(x0 + 1, w - 1)]
     c10 = env.data[jnp.minimum(y0 + 1, h - 1), x0]

@@ -104,3 +104,20 @@ def test_gt_render_smoke(tiny_scene):
     # matball (center) is green-tinted mint: G channel dominates R there
     center = img[20:30, 20:30]
     assert center[..., 1].mean() > center[..., 0].mean()
+
+
+def test_env_eval_pairs_matches_plain(key):
+    """The paired-texel eval path (2 gathers) must equal the 4-gather
+    bilinear path exactly."""
+    from bsdf_diffusion_sampling_tpu.render.envmap import envmap_from_image, eval_env
+
+    rng = np.random.default_rng(4)
+    img = rng.random((64, 128, 3)).astype(np.float32)
+    env = envmap_from_image(img)
+    assert env.data_pairs is not None
+    d = jax.random.normal(key, (4096, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    fast = eval_env(env, d)
+    slow = eval_env(env._replace(data_pairs=None), d)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               rtol=1e-6, atol=1e-7)
