@@ -414,8 +414,8 @@ def intersect8(
     t_max: float | jnp.ndarray = _INF,
     active: jnp.ndarray | None = None,
     any_hit: bool = False,
-    S: int = 8,
-    G: int = 8,
+    S: int = 16,
+    G: int = 4,
 ) -> Hit:
     """Packet-kernel counterpart of render/bvh.intersect (same Hit
     contract: t == 1e30 miss, prim in reordered space)."""
@@ -477,8 +477,8 @@ def intersect8(
     )
 
 
-def occluded8(bvh8: BVH8Arrays, ro, rd, t_max, active=None, S: int = 8,
-              G: int = 8) -> jnp.ndarray:
+def occluded8(bvh8: BVH8Arrays, ro, rd, t_max, active=None, S: int = 16,
+              G: int = 4) -> jnp.ndarray:
     """Boolean shadow query via the any-hit kernel variant."""
     hit = intersect8(bvh8, ro, rd, t_max, active=active, any_hit=True, S=S,
                      G=G)
