@@ -56,6 +56,20 @@ already charged to the kernel, not excused by the target).
 Before timing, the script asserts on-chip fused-vs-XLA parity (VERDICT
 round-1 item 9: catches Mosaic-vs-interpret divergence that CPU
 interpret-mode tests cannot).
+
+Number-of-record discipline (round 5, VERDICT r4 weak #1: the driver's
+r4 capture read 2x low because the tunneled worker was degraded, and
+nothing detected it):
+- a PRE-FLIGHT PROBE times a chained stack of large bf16 matmuls (pure
+  MXU work with a known speed-of-light) and records the achieved
+  TFLOP/s; a worker below PROBE_MIN_FRAC of peak marks the line
+  "suspect" with reason "probe" — the number is then evidence about the
+  backend, not the kernel;
+- the kernel loop is timed REPEATS (default 5) times; the line reports
+  the MEDIAN with "spread_pct" = (max-min)/median over the repeats, and
+  marks "suspect" when spread exceeds 20% (a healthy worker measures
+  ~1-3%);
+- BENCH_REPEATS overrides the repeat count (>=3 enforced).
 """
 
 from __future__ import annotations
@@ -98,6 +112,34 @@ def _roofline_mevals(T: int, n_layers: int, pack: int) -> float:
 def _sync(x) -> float:
     """Force device completion via a host transfer (see module docstring)."""
     return float(np.asarray(jax.device_get(x)))
+
+
+# Pure-MXU probe: K chained (4096,4096) bf16 matmuls in one jitted scan.
+# A healthy v5e sustains >=60% of peak on this shape; the threshold is
+# set loose (35%) so only a genuinely degraded worker/tunnel trips it.
+PROBE_MIN_FRAC = 0.35
+
+
+def _preflight_probe() -> tuple[float, float]:
+    """Returns (achieved_tflops, frac_of_peak) for chained big matmuls."""
+    K, D = 24, 4096
+    # value 1/D**0.5 is a fixed point of x @ x: every chained product stays
+    # exactly representable (no inf/NaN riding through the MXU)
+    x = jnp.full((D, D), 1.0 / 64.0, jnp.bfloat16)
+
+    @jax.jit
+    def chain(x):
+        def body(c, _):
+            return (c @ x).astype(jnp.bfloat16), None
+        c, _ = jax.lax.scan(body, x, None, length=K)
+        return c[0, 0].astype(jnp.float32)
+
+    _sync(chain(x))  # compile + warm
+    t0 = time.perf_counter()
+    _sync(chain(x))
+    dt = time.perf_counter() - t0
+    tflops = K * 2 * D**3 / dt / 1e12
+    return tflops, tflops / _chip_peak_tflops()
 
 
 def main() -> None:
@@ -146,6 +188,8 @@ def main() -> None:
         f"fused pdf diverges from XLA oracle ON CHIP: median rel "
         f"{np.median(rel):.4f}, p99 {np.quantile(rel, 0.99):.4f}")
 
+    probe_tflops, probe_frac = _preflight_probe()
+
     bench_tile = int(os.environ.get("BENCH_TILE", "2048"))
     # split-chain interleave (ops/fused_ode.py _disk_ode_loop): emit C
     # independent row-chunk chains in alternating program order so Mosaic
@@ -179,6 +223,7 @@ def main() -> None:
         dt = (t1 - t0) - (time.perf_counter() - t1)  # subtract fixed overhead
         n_evals = n * (iters - 2)
         prod_mevals = None
+        repeats, spread_pct = 1, None
     else:
         # Production pattern (round 3): the render bounce program traces the
         # fused kernel INSIDE its own jit and consumes (x, pdf) there, so the
@@ -241,8 +286,12 @@ def main() -> None:
             _sync(acc)  # host transfer = true completion
             return time.perf_counter() - t0
 
-        dt = timed("kernel")
-        prod_mevals = n * iters / timed("production") / 1e6
+        repeats = max(3, int(os.environ.get("BENCH_REPEATS", "5")))
+        kernel_times = sorted(timed("kernel") for _ in range(repeats))
+        dt = kernel_times[len(kernel_times) // 2]  # median
+        spread_pct = 100.0 * (kernel_times[-1] - kernel_times[0]) / dt
+        prod_times = sorted(timed("production") for _ in range(3))
+        prod_mevals = n * iters / prod_times[1] / 1e6
         n_evals = n * iters
 
     if os.environ.get("BENCH_RENDER", "0") == "1":
@@ -262,12 +311,27 @@ def main() -> None:
 
     mevals = n_evals / dt / 1e6
     roofline = _roofline_mevals(T, n_layers=len(v_params), pack=4)
+    suspect_reasons = []
+    if probe_frac < PROBE_MIN_FRAC:
+        suspect_reasons.append("probe")
+    if spread_pct is not None and spread_pct > 20.0:
+        suspect_reasons.append("spread")
     line = {
         "metric": "bsdf_sample_pdf_throughput" + ("_xla" if use_xla else ""),
         "value": round(mevals, 2),
         "unit": "Meval/s/chip",
         "vs_baseline": round(mevals / roofline, 3),
+        "repeats": repeats,
+        "probe_tflops": round(probe_tflops, 1),
     }
+    if spread_pct is not None:
+        line["spread_pct"] = round(spread_pct, 1)
+    if suspect_reasons:
+        # the measurement machinery, not the kernel, is out of spec — a
+        # degraded tunneled worker or a contended chip. Treat the value
+        # as a lower bound, not a number of record (VERDICT r4 weak #1).
+        line["suspect"] = True
+        line["suspect_reason"] = "+".join(suspect_reasons)
     if prod_mevals is not None:
         # same kernel consumed through the (n, 8) narrow-slice reshape the
         # render bounce program uses — the delta is the consumer-side
