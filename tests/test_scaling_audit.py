@@ -22,7 +22,11 @@ def test_bounce_programs_collective_free(tmp_path):
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     meta = json.loads(out.read_text())
     for row in meta["rows"]:
-        assert not row["bounce_collectives"]["counts"], row
+        # both traversal structures: binary lockstep AND the 8-wide
+        # packet kernel (r5 — the production path under shard_map)
+        assert set(row["bounce_collectives"]) == {"binary", "bvh8_packet"}
+        for stats in row["bounce_collectives"].values():
+            assert not stats["counts"], row
     # film reduction present (and only there) on real multi-device meshes
     multi = [r_ for r_ in meta["rows"] if r_["devices"] > 1]
     assert multi and all(
