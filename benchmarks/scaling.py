@@ -127,9 +127,10 @@ def main(argv=None):
                 traverse8._INTERPRET = False
 
         finish_lowered = jax.jit(
-            lambda px, L: _finish_pass(px, L, width=args.width,
-                                       height=args.height)
-        ).lower(state[2], state[3])
+            lambda L: _finish_pass(L, 0, width=args.width,
+                                   height=args.height, spp_chunk=2,
+                                   rows=args.height)
+        ).lower(state[3])
         finish_hlo = finish_lowered.compile().as_text()
         finish_stats = _collective_stats(finish_hlo)
 

@@ -72,6 +72,10 @@ class BVH8Arrays(NamedTuple):
     # gathers (TPU gathers are row-count bound; the narrow (N,3)/(N,2)
     # tables additionally pay a lane-padding relayout)
     attr_rows: jnp.ndarray | None = None
+    # (2, 3) whole-scene [lo, hi] — metadata (an XLA-side bbox pre-prune
+    # was tried and measured a no-op: every production ray originates ON
+    # scene geometry, i.e. inside the bbox, so the slab test always hits)
+    root_bbox: jnp.ndarray | None = None
 
 
 def pack_flags(count: int, axis: int, leaf: bool) -> int:
@@ -260,4 +264,7 @@ def build_bvh8(soup: TriangleSoup, max_leaf: int = MAX_LEAF8) -> BVH8Arrays:
         uv2=reorder(soup.uv2),
         material_id=reorder(soup.material_id),
         attr_rows=jnp.asarray(attr),
+        root_bbox=jnp.asarray(
+            np.stack([lo.min(axis=0), hi.max(axis=0)]), jnp.float32
+        ),
     )

@@ -73,7 +73,51 @@ def _as_tuple(matball) -> tuple:
     return (matball,) if isinstance(matball, MatballFns) else tuple(matball)
 
 
-def _isect(accel, ro, rd, active, mesh=None):
+def _ray_sort_key(rd, active):
+    """Traversal-coherence sort key: direction octant for live rays, a
+    sentinel for dead ones. Sorting the wavefront by this key before the
+    packet kernel does two things (r5, from the r5 device trace where
+    traversal was 75% of render time):
+
+    - COMPACTION: dead rays (~80% of the wavefront by bounce 2) cluster
+      into all-dead S x 128 packets, which the kernel skips at slot
+      init — traversal cost scales with ALIVE rays, not wavefront size;
+    - COHERENCE: rays sharing a direction octant visit far fewer distinct
+      child blocks per packet, so t_best culling actually prunes.
+
+    The key is cheap on purpose (3 comparisons); the argsort + gathers
+    cost ~7 ms per traversal call at 131k rays, against 30-50 ms saved on
+    divergent bounces. Results are un-permuted before returning, so
+    callers (and the film) never see the sorted order."""
+    ax, ay, az = jnp.abs(rd[:, 0]), jnp.abs(rd[:, 1]), jnp.abs(rd[:, 2])
+    octant = (
+        (rd[:, 0] > 0).astype(jnp.int32) * 4
+        + (rd[:, 1] > 0).astype(jnp.int32) * 2
+        + (rd[:, 2] > 0).astype(jnp.int32)
+    )
+    # refine within the octant by the dominant axis (a low-res cube-map
+    # cell) and a grazing bit: each refinement measured another ~1-3% off
+    # whole-chunk render time over octant-only keys, at zero extra sort
+    # cost (the key stays a single small int)
+    dom = jnp.where(ax >= jnp.maximum(ay, az), 0,
+                    jnp.where(ay >= az, 1, 2))
+    # one more refinement: is the larger minor axis at least half the
+    # dominant one (grazing vs axis-aligned within the cell)
+    mx = jnp.maximum(ax, jnp.maximum(ay, az))
+    mid = ax + ay + az - mx - jnp.minimum(ax, jnp.minimum(ay, az))
+    graze = (mid * 2 > mx).astype(jnp.int32)
+    return jnp.where(active, (octant * 3 + dom) * 2 + graze, 48)
+
+
+def _sort_perm(sort_key):
+    perm = jnp.argsort(sort_key)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=perm.dtype)
+    )
+    return perm, inv
+
+
+def _isect(accel, ro, rd, active, mesh=None, sort: bool = False):
     """Closest-hit dispatch: packet kernel for an 8-wide accel (TPU
     production path, render/traverse8.py), binary lockstep otherwise
     (CPU/oracle). Both return the same Hit contract.
@@ -102,10 +146,17 @@ def _isect(accel, ro, rd, active, mesh=None):
         spec = P(mesh.axis_names[0])
 
         def local(a, ro_, rd_, act):
+            # sorting is shard-local: per-ray traversal is exact, so the
+            # permutation is invisible outside and needs no collectives
+            if sort:
+                perm, inv = _sort_perm(_ray_sort_key(rd_, act))
+                ro_, rd_, act = ro_[perm], rd_[perm], act[perm]
             if isinstance(a, BVH8Arrays):
                 h = intersect8(a, ro_, rd_, active=act)
             else:
                 h = intersect(a, ro_, rd_, active=act)
+            if sort:
+                return h.t[inv], h.prim[inv], h.u[inv], h.v[inv]
             return h.t, h.prim, h.u, h.v
 
         t, prim, u, v = shard_map(
@@ -113,12 +164,16 @@ def _isect(accel, ro, rd, active, mesh=None):
             out_specs=spec, check_vma=False,
         )(accel, ro, rd, active)
         return Hit(t, prim, u, v, False)
+    if sort and isinstance(accel, BVH8Arrays):
+        perm, inv = _sort_perm(_ray_sort_key(rd, active))
+        h = intersect8(accel, ro[perm], rd[perm], active=active[perm])
+        return Hit(h.t[inv], h.prim[inv], h.u[inv], h.v[inv], h.truncated)
     if isinstance(accel, BVH8Arrays):
         return intersect8(accel, ro, rd, active=active)
     return intersect(accel, ro, rd, active=active)
 
 
-def _occl(accel, ro, rd, t_max, active, mesh=None):
+def _occl(accel, ro, rd, t_max, active, mesh=None, sort: bool = False):
     if mesh is not None:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -126,14 +181,24 @@ def _occl(accel, ro, rd, t_max, active, mesh=None):
         spec = P(mesh.axis_names[0])
 
         def local(a, ro_, rd_, tm, act):
+            if sort:
+                perm, inv = _sort_perm(_ray_sort_key(rd_, act))
+                ro_, rd_, tm, act = ro_[perm], rd_[perm], tm[perm], act[perm]
             if isinstance(a, BVH8Arrays):
-                return occluded8(a, ro_, rd_, tm, active=act)
-            return occluded(a, ro_, rd_, tm, active=act)
+                occ = occluded8(a, ro_, rd_, tm, active=act)
+            else:
+                occ = occluded(a, ro_, rd_, tm, active=act)
+            return occ[inv] if sort else occ
 
         return shard_map(
             local, mesh=mesh, in_specs=(P(), spec, spec, spec, spec),
             out_specs=spec, check_vma=False,
         )(accel, ro, rd, t_max, active)
+    if sort and isinstance(accel, BVH8Arrays):
+        perm, inv = _sort_perm(_ray_sort_key(rd, active))
+        occ = occluded8(accel, ro[perm], rd[perm], t_max[perm],
+                        active=active[perm])
+        return occ[inv]
     if isinstance(accel, BVH8Arrays):
         return occluded8(accel, ro, rd, t_max, active=active)
     return occluded(accel, ro, rd, t_max, active=active)
@@ -219,8 +284,7 @@ def _ball_filter(matballs: tuple, mat_id, w_rgb):
     return out
 
 
-@partial(jax.jit, static_argnames=("matball", "mesh"))
-def _bounce_program(
+def _bounce_body(
     bvh: BVHArrays,
     env: EnvMap,
     lights: jnp.ndarray,  # (P, 6) point lights: position, intensity
@@ -251,7 +315,7 @@ def _bounce_program(
     n = ro.shape[0]
     k_nee, k_bsdf, k_rr = jax.random.split(jax.random.fold_in(key, depth), 3)
 
-    hit = _isect(bvh, ro, rd, alive, mesh)
+    hit = _isect(bvh, ro, rd, alive, mesh, sort=True)
     miss = hit.t >= 1e29
 
     # escaped rays collect the envmap, MIS-weighted against the
@@ -307,7 +371,8 @@ def _bounce_program(
         wo_nee_l[..., 2] >= 0, RAY_EPS, -RAY_EPS
     )[..., None]
     nee_cand = alive & (pdf_e > 1e-9) & ((wo_nee_l[..., 2] > 0) | trans_mask)
-    occ = _occl(bvh, shadow_o, d_env, jnp.full((n,), 1e6), nee_cand, mesh)
+    occ = _occl(bvh, shadow_o, d_env, jnp.full((n,), 1e6), nee_cand, mesh,
+                sort=True)
     nee_ok = nee_cand & ~occ
     contrib = beta * f_nee * (le_nee / jnp.maximum(pdf_e, 1e-9)[..., None])
     contrib = contrib * mis_weight(pdf_e, pdf_b_at_nee)[..., None]
@@ -328,7 +393,8 @@ def _bounce_program(
             wo_light_l[..., 2] >= 0, RAY_EPS, -RAY_EPS
         )[..., None]
         cand = alive & ((wo_light_l[..., 2] > 0) | trans_mask)
-        occ_l = _occl(bvh, sh_o, d_l, dist - 2 * RAY_EPS, cand, mesh)
+        occ_l = _occl(bvh, sh_o, d_l, dist - 2 * RAY_EPS, cand, mesh,
+                      sort=True)
         lvis = cand & ~occ_l
         contrib_l = beta * f_l * (inten[None, :] / (dist * dist)[..., None])
         L = L + jnp.where(lvis[..., None], contrib_l, 0.0)
@@ -360,6 +426,14 @@ def _bounce_program(
     return ro, rd, px, L, beta, alive, prev_pdf
 
 
+# standalone per-bounce entry (probes, the collective audit, and tests
+# time/lower ONE bounce); the production render fuses bounces via
+# lax.scan in _pass_program instead — see render_pass
+_bounce_program = partial(jax.jit, static_argnames=("matball", "mesh"))(
+    _bounce_body
+)
+
+
 @partial(
     jax.jit,
     static_argnames=("width", "height", "spp_chunk", "rows"),
@@ -379,9 +453,102 @@ def _init_wavefront(cam_vectors, key, row0, *, width, height, spp_chunk, rows):
     return state, k_path
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
-def _finish_pass(px, L, *, width, height):
-    return accumulate_film(px, L, width, height)
+@partial(jax.jit, static_argnames=("width", "height", "spp_chunk", "rows"))
+def _finish_pass(L, row0, *, width, height, spp_chunk, rows):
+    """Film accumulation WITHOUT a scatter: generate_rays lays samples out
+    sample-major (`px = tile(arange(rows*w), spp) + row0*w`), so the
+    segment-sum is a reshape + axis-sum + one dynamic_update_slice into
+    the film. The general scatter (`camera.accumulate_film`) measured
+    ~55 ms per 131k-ray pass on v5e — a fifth of the whole pass — while
+    this layout-aware form is ~2 ms; TPU scatters serialize, static
+    layouts don't (r5). Every sample counts toward cnt (filter importance
+    sampling splats weight 1), so cnt is spp_chunk over the tile rows."""
+    row0 = jnp.asarray(row0, jnp.int32)
+    tile = L.reshape(spp_chunk, rows * width, 3).sum(0).reshape(rows, width, 3)
+    img = jax.lax.dynamic_update_slice(
+        jnp.zeros((height, width, 3), L.dtype), tile, (row0, 0, 0)
+    )
+    cnt = jax.lax.dynamic_update_slice(
+        jnp.zeros((height, width), jnp.float32),
+        jnp.full((rows, width), float(spp_chunk), jnp.float32),
+        (row0, 0),
+    )
+    return img, cnt
+
+
+@partial(
+    jax.jit,
+    static_argnames=("matball", "width", "height", "spp_chunk", "rows",
+                     "max_depth", "mesh"),
+)
+def _pass_program(
+    bvh,
+    env,
+    lights,
+    cam_vectors,
+    keys,  # (C,) pass keys
+    row0s,  # (C,) int32 tile starts
+    *,
+    matball: tuple,
+    width: int,
+    height: int,
+    spp_chunk: int,
+    rows: int,
+    max_depth: int,
+    mesh=None,
+):
+    """C whole accumulation units (ray-gen + max_depth bounces + film) in
+    ONE jitted program: an outer lax.scan over (key, row0) units carrying
+    the film sum, an inner lax.scan over bounce depth (depth was already a
+    traced scalar, so the scanned bounce body compiles once).
+
+    This exists because the tunneled backend charges ~25-30 ms of
+    turnaround per jitted call: the r4 renderer made 7 calls per pass
+    (init + 4 bounces + finish + add), paying ~200 ms/pass of pure
+    dispatch — measured via a max_depth=0 render that still cost
+    129 ms/pass (r5). One fused program per C units makes the overhead
+    ~30 ms / C. The per-bounce `_bounce_program` entry remains for probes
+    and the collective audit; it runs the same `_bounce_body`.
+    """
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+    def unit(film, unit_in):
+        key, row0 = unit_in
+        k_cam, k_path = jax.random.split(key)
+        ro, rd, px = generate_rays(cam_vectors, width, height, k_cam,
+                                   spp_chunk, row0=row0, rows=rows)
+        n = ro.shape[0]
+        state = (
+            ro, rd, px,
+            jnp.zeros((n, 3)),
+            jnp.ones((n, 3)),
+            jnp.ones((n,), bool),
+            jnp.zeros((n,)),
+        )
+        if shard is not None:
+            state = tuple(
+                jax.lax.with_sharding_constraint(x, shard) for x in state
+            )
+
+        def body(st, depth):
+            return _bounce_body(bvh, env, lights, st, k_path, depth,
+                                matball=matball, mesh=mesh), None
+
+        state, _ = jax.lax.scan(body, state, jnp.arange(max_depth))
+        img, cnt = _finish_pass(state[3], row0, width=width, height=height,
+                                spp_chunk=spp_chunk, rows=rows)
+        return (film[0] + img, film[1] + cnt), None
+
+    film0 = (
+        jnp.zeros((height, width, 3), jnp.float32),
+        jnp.zeros((height, width), jnp.float32),
+    )
+    film, _ = jax.lax.scan(unit, film0, (keys, row0s))
+    return film
 
 
 def render_pass(
@@ -416,9 +583,10 @@ def render_pass(
     matball = _as_tuple(matball)
     if lights is None:
         lights = jnp.zeros((0, 6), jnp.float32)
+    rows = height - row0 if rows is None else rows
     state, k_path = _init_wavefront(cam_vectors, key, row0, width=width,
                                     height=height, spp_chunk=spp_chunk,
-                                    rows=height - row0 if rows is None else rows)
+                                    rows=rows)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -428,8 +596,8 @@ def render_pass(
     for depth in range(max_depth):
         state = _bounce_program(bvh, env, lights, state, k_path, depth,
                                 matball=matball, mesh=mesh)
-    px, L = state[2], state[3]
-    return _finish_pass(px, L, width=width, height=height)
+    return _finish_pass(state[3], row0, width=width, height=height,
+                        spp_chunk=spp_chunk, rows=rows)
 
 
 def render(
@@ -441,6 +609,7 @@ def render(
     max_depth: int = 12,
     mesh=None,
     max_rays_per_pass: int | None = None,
+    chunk_units: int = 8,
 ):
     """Full multi-pass render (the 128x accumulation loop of
     `brdf_measured_disk.py:146-163`). Returns (H, W, 3) numpy image.
@@ -499,21 +668,29 @@ def render(
         else scene.bvh
     )
     add = jax.jit(lambda a, b: (a[0] + b[0], a[1] + b[1]))
-    # premake per-(pass, tile) keys outside the hot loop (eager jax ops
-    # cost ~30 ms each on the tunneled dev backend)
+    matball = _as_tuple(matball)
+    # one (key, row0) unit per accumulation pass per row tile; units with
+    # equal `rows` batch into _pass_program chunks of `chunk_units` so the
+    # tunneled backend's ~30 ms per-call turnaround amortizes (module
+    # docstring of _pass_program). Chunks stay O(seconds) of device work.
     keys = jax.random.split(key, passes * len(row_tiles))
-    keys = [keys[i] for i in range(passes * len(row_tiles))]
-    jax.block_until_ready(keys)
+    units: dict[int, list] = {}
     ki = 0
     for i in range(passes):
         for (row0, rows) in row_tiles:
-            img, cnt = render_pass(
-                accel, scene.envmap, cam_vecs, keys[ki],
-                matball=matball, width=w, height=h,
-                spp_chunk=spp_chunk, max_depth=max_depth, mesh=mesh,
-                row0=row0, rows=rows, lights=scene.lights,
-            )
+            units.setdefault(rows, []).append((ki, row0))
             ki += 1
+    for rows, unit_list in units.items():
+        for c0 in range(0, len(unit_list), chunk_units):
+            chunk = unit_list[c0:c0 + chunk_units]
+            k_idx = np.asarray([k for k, _ in chunk], np.int32)
+            row0s = jnp.asarray([r for _, r in chunk], jnp.int32)
+            img, cnt = _pass_program(
+                accel, scene.envmap, scene.lights, cam_vecs,
+                keys[k_idx], row0s,
+                matball=matball, width=w, height=h, spp_chunk=spp_chunk,
+                rows=rows, max_depth=max_depth, mesh=mesh,
+            )
             if img_sum is None:
                 img_sum, cnt_sum = img, cnt
             else:

@@ -51,6 +51,14 @@ _BASE_MASK = (1 << META_BASE_BITS) - 1
 _INF = 1e30
 _INTERPRET = False  # flipped by tests on CPU
 
+# default packet geometry (rays per slot = S*128, G slots round-robin).
+# Chosen from benchmarks/results/traverse8_sweep_r04.json + the r5 sorted
+# sweep; env-overridable for sweeps (TRAVERSE8_S / TRAVERSE8_G).
+import os as _os
+
+_DEF_S = int(_os.environ.get("TRAVERSE8_S", "32"))
+_DEF_G = int(_os.environ.get("TRAVERSE8_G", "2"))
+
 
 def _turn(
     g: int,
@@ -414,11 +422,13 @@ def intersect8(
     t_max: float | jnp.ndarray = _INF,
     active: jnp.ndarray | None = None,
     any_hit: bool = False,
-    S: int = 16,
-    G: int = 4,
+    S: int | None = None,
+    G: int | None = None,
 ) -> Hit:
     """Packet-kernel counterpart of render/bvh.intersect (same Hit
     contract: t == 1e30 miss, prim in reordered space)."""
+    S = _DEF_S if S is None else S
+    G = _DEF_G if G is None else G
     r = ro.shape[0]
     lane = S * 128
     n_pack = -(-r // lane)
@@ -477,8 +487,8 @@ def intersect8(
     )
 
 
-def occluded8(bvh8: BVH8Arrays, ro, rd, t_max, active=None, S: int = 16,
-              G: int = 4) -> jnp.ndarray:
+def occluded8(bvh8: BVH8Arrays, ro, rd, t_max, active=None,
+              S: int | None = None, G: int | None = None) -> jnp.ndarray:
     """Boolean shadow query via the any-hit kernel variant."""
     hit = intersect8(bvh8, ro, rd, t_max, active=active, any_hit=True, S=S,
                      G=G)
