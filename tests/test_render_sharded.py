@@ -43,6 +43,7 @@ def test_sharded_packet_traversal_matches_single(key):
     bvh8-single-device film with the same key."""
     from bsdf_diffusion_sampling_tpu.render import traverse8
 
+    prev_interpret = traverse8._INTERPRET
     traverse8._INTERPRET = True
     try:
         scene = load_scene(SCENE, width=16, height=16)
@@ -70,4 +71,4 @@ def test_sharded_packet_traversal_matches_single(key):
         assert mismatch.mean() < 0.05, f"{mismatch.mean():.3f} of film differs"
         assert np.isfinite(a).all()
     finally:
-        traverse8._INTERPRET = False
+        traverse8._INTERPRET = prev_interpret
