@@ -169,7 +169,10 @@ def main(argv=None):
                             teacher_cfg=teacher_cfg)
     from bsdf_diffusion_sampling_tpu.train import checkpoint as ckpt
 
-    ckpt.save_pytree(os.path.join(args.out, "final.npz"), params, step=0)
+    # step records the final rectify iteration so downstream metrics
+    # (benchmarks/quality_eval.py) can report which checkpoint they saw
+    ckpt.save_pytree(os.path.join(args.out, "final.npz"), params,
+                     step=train_cfg.iters_rectify)
     print(f"[done] wrote {args.out}/final.npz")
 
 
