@@ -183,3 +183,36 @@ def test_firefly_filter_triggers(disk_ckpt, brdf):
     np.testing.assert_array_equal(out[0], [1.0, 1.0, 1.0])
     np.testing.assert_array_equal(out[1], [0.0, 0.0, 0.0])
     np.testing.assert_array_equal(out[2], [0.0, 0.0, 0.0])
+
+
+def test_neural_matball_mis_proxy_is_measured(disk_ckpt, brdf):
+    """r5 MIS contract: the neural matball's eval_pdf pdf (what MIS
+    weights use) must be the MEASURED pdf — not the neural pdf — while
+    matball.pdf stays the neural sampler's own (the estimator divisor).
+    Any per-direction weight pair summing to 1 keeps MIS unbiased; the
+    measured proxy removes the learned pdf's tail error from the weights
+    (the r4 spherical firefly, VERDICT r4 weak #5)."""
+    from bsdf_diffusion_sampling_tpu.bsdf.measured import pdf_brdf
+    from bsdf_diffusion_sampling_tpu.render.integrator import neural_matball
+
+    nb = _nb("disk", disk_ckpt, brdf, fused_flag=False)
+    mb = neural_matball(nb)
+    assert mb.eval_pdf is not None
+    key = jax.random.key(11)
+    k1, k2 = jax.random.split(key)
+    wi = jax.random.normal(k1, (256, 3))
+    wi = wi.at[:, 2].set(jnp.abs(wi[:, 2]) + 0.2)
+    wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+    wo = jax.random.normal(k2, (256, 3))
+    wo = wo.at[:, 2].set(jnp.abs(wo[:, 2]) + 0.2)
+    wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
+    f_fused, pdf_proxy = mb.eval_pdf(wi, wo)
+    np.testing.assert_allclose(
+        np.asarray(pdf_proxy), np.asarray(pdf_brdf(brdf, wi, wo)),
+        rtol=1e-5, atol=1e-7,
+    )
+    # and the fused eval matches the standalone measured eval
+    np.testing.assert_allclose(
+        np.asarray(f_fused), np.asarray(mb.eval(wi, wo)), rtol=1e-5,
+        atol=1e-7,
+    )
