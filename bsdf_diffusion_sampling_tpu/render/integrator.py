@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from bsdf_diffusion_sampling_tpu.render.bvh import BVHArrays, Hit, intersect, occluded
 from bsdf_diffusion_sampling_tpu.render.bvh8 import BVH8Arrays
 from bsdf_diffusion_sampling_tpu.render.traverse8 import intersect8, occluded8
-from bsdf_diffusion_sampling_tpu.render.camera import accumulate_film, generate_rays
+from bsdf_diffusion_sampling_tpu.render.camera import generate_rays
 from bsdf_diffusion_sampling_tpu.render.envmap import EnvMap, eval_env, pdf_env, sample_env
 from bsdf_diffusion_sampling_tpu.render.lambert import (
     checkerboard,
