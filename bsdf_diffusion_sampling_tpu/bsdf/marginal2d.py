@@ -50,6 +50,14 @@ class Warp2D(NamedTuple):
     marg_cdf: jnp.ndarray
     params: jnp.ndarray
     params_phi: jnp.ndarray | None = None
+    # k/k+1 row PAIRS packed side by side, (P, H, 2W), built only when
+    # 2W <= 128 lanes (the luminance/rgb-resolution warps; vndf rows are
+    # already a full 128-lane row so packing buys nothing): TPU gathers
+    # are row-count bound, so one 2W gather replaces the two adjacent-row
+    # gathers every (slice, k) blend performs — same trick as the r4
+    # envmap texel-pair packing.
+    density_pairs: jnp.ndarray | None = None
+    cond_cdf_pairs: jnp.ndarray | None = None
 
     @property
     def res(self) -> Tuple[int, int]:
@@ -70,11 +78,22 @@ def build_warp2d(grids: np.ndarray, params: np.ndarray) -> Warp2D:
     marg = np.concatenate([np.zeros((P, 1)), np.cumsum(seg_y, axis=-1)], axis=-1)
     total = marg[:, -1:]  # (P, 1)
     total = np.maximum(total, 1e-30)
+    dens_n = g / total[..., None]
+    cond_n = cond / total[..., None]
+
+    def pairs(tab):
+        if 2 * W > 128:
+            return None
+        nxt = np.concatenate([tab[:, 1:], tab[:, -1:]], axis=1)
+        return jnp.asarray(np.concatenate([tab, nxt], axis=-1), jnp.float32)
+
     return Warp2D(
-        density=jnp.asarray(g / total[..., None], jnp.float32),
-        cond_cdf=jnp.asarray(cond / total[..., None], jnp.float32),
+        density=jnp.asarray(dens_n, jnp.float32),
+        cond_cdf=jnp.asarray(cond_n, jnp.float32),
         marg_cdf=jnp.asarray(marg / total, jnp.float32),
         params=jnp.asarray(params, jnp.float32),
+        density_pairs=pairs(dens_n),
+        cond_cdf_pairs=pairs(cond_n),
     )
 
 
@@ -238,9 +257,23 @@ def _gather_rows(table3, p, k):
     return table3.reshape(P * H, W)[p * H + k]
 
 
-def _blend_rows(table3, slices, k, k1, t_n):
+def _blend_rows(table3, slices, k, k1, t_n, pairs=None):
     """(slice, row) blend of table rows: 2 row gathers per slice entry
-    (2 slices isotropic, 4 anisotropic)."""
+    (2 slices isotropic, 4 anisotropic) — or ONE per slice when the
+    packed k/k+1 `pairs` table exists (rows narrow enough that both fit
+    one 128-lane gather; see Warp2D.density_pairs)."""
+    if pairs is not None:
+        W = table3.shape[-1]
+        b0 = None
+        t0 = None
+        for idx, wk in slices:
+            wn = wk[..., None]
+            row = _gather_rows(pairs, idx, k)  # (..., 2W): k and k+1
+            gb = wn * row[..., :W]
+            gt = wn * row[..., W:]
+            b0 = gb if b0 is None else b0 + gb
+            t0 = gt if t0 is None else t0 + gt
+        return (1.0 - t_n) * b0 + t_n * t0
     b0 = None
     t0 = None
     for idx, wk in slices:
@@ -270,9 +303,11 @@ def _warp_sample_fast(warp: Warp2D, u: jnp.ndarray, theta: jnp.ndarray,
     row_total = (1 - t) * m0 + t * m1
     target = u1 * row_total
     t_n = t[..., None]
-    cond_rows = _blend_rows(warp.cond_cdf, slices, k, k + 1, t_n)
+    cond_rows = _blend_rows(warp.cond_cdf, slices, k, k + 1, t_n,
+                            pairs=warp.cond_cdf_pairs)
     j = _count_cells(cond_rows, target, W)
-    dens_rows = _blend_rows(warp.density, slices, k, k + 1, t_n)
+    dens_rows = _blend_rows(warp.density, slices, k, k + 1, t_n,
+                            pairs=warp.density_pairs)
     d0 = _sel(dens_rows, j)
     d1 = _sel(dens_rows, j + 1)
     s = _invert_linear_cdf(_sel(cond_rows, j), d0, d1, dx, target)
@@ -302,8 +337,10 @@ def _warp_invert_fast(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray,
     j = xj.astype(jnp.int32)
     s = xj - j.astype(xj.dtype)
     t_n = t[..., None]
-    cond_rows = _blend_rows(warp.cond_cdf, slices, k, k + 1, t_n)
-    dens_rows = _blend_rows(warp.density, slices, k, k + 1, t_n)
+    cond_rows = _blend_rows(warp.cond_cdf, slices, k, k + 1, t_n,
+                            pairs=warp.cond_cdf_pairs)
+    dens_rows = _blend_rows(warp.density, slices, k, k + 1, t_n,
+                            pairs=warp.density_pairs)
     d0 = _sel(dens_rows, j)
     d1 = _sel(dens_rows, j + 1)
     cx = _eval_linear_cdf(_sel(cond_rows, j), d0, d1, dx, s)
@@ -325,7 +362,8 @@ def _warp_eval_fast(warp: Warp2D, pos: jnp.ndarray, theta: jnp.ndarray,
     xj = jnp.clip(x * (W - 1), 0.0, W - 1 - 1e-6)
     j = xj.astype(jnp.int32)
     s = xj - j.astype(xj.dtype)
-    dens_rows = _blend_rows(warp.density, slices, k, k + 1, t[..., None])
+    dens_rows = _blend_rows(warp.density, slices, k, k + 1, t[..., None],
+                            pairs=warp.density_pairs)
     d0 = _sel(dens_rows, j)
     d1 = _sel(dens_rows, j + 1)
     return (1 - s) * d0 + s * d1
@@ -364,11 +402,17 @@ def _warp_sample_wide1(warp: Warp2D, u: jnp.ndarray):
     row_total = (1 - t) * m0 + t * m1
     target = u1 * row_total
     t_n = t[..., None]
-    cond = warp.cond_cdf[0]  # (H, W)
-    dens = warp.density[0]
-    cond_rows = (1 - t_n) * cond[k] + t_n * cond[k + 1]  # 2 row gathers
+    if warp.cond_cdf_pairs is not None:
+        cp = warp.cond_cdf_pairs[0][k]  # one gather: k and k+1 rows
+        cond_rows = (1 - t_n) * cp[..., :W] + t_n * cp[..., W:]
+        dp = warp.density_pairs[0][k]
+        dens_rows = (1 - t_n) * dp[..., :W] + t_n * dp[..., W:]
+    else:
+        cond = warp.cond_cdf[0]  # (H, W)
+        dens = warp.density[0]
+        cond_rows = (1 - t_n) * cond[k] + t_n * cond[k + 1]  # 2 row gathers
+        dens_rows = (1 - t_n) * dens[k] + t_n * dens[k + 1]  # 2 row gathers
     j = _count_cells(cond_rows, target, W)
-    dens_rows = (1 - t_n) * dens[k] + t_n * dens[k + 1]  # 2 row gathers
     d0 = _sel(dens_rows, j)
     d1 = _sel(dens_rows, j + 1)
     s = _invert_linear_cdf(_sel(cond_rows, j), d0, d1, dx, target)
@@ -458,8 +502,13 @@ def _warp_eval_wide1(warp: Warp2D, pos: jnp.ndarray):
     xj = jnp.clip(x * (W - 1), 0.0, W - 1 - 1e-6)
     j = xj.astype(jnp.int32)
     s = xj - j.astype(xj.dtype)
-    dens = warp.density[0]
-    dens_rows = (1 - t[..., None]) * dens[k] + t[..., None] * dens[k + 1]
+    t_n = t[..., None]
+    if warp.density_pairs is not None:
+        dp = warp.density_pairs[0][k]  # one gather: k and k+1 rows
+        dens_rows = (1 - t_n) * dp[..., :W] + t_n * dp[..., W:]
+    else:
+        dens = warp.density[0]
+        dens_rows = (1 - t_n) * dens[k] + t_n * dens[k + 1]
     d0 = _sel(dens_rows, j)
     d1 = _sel(dens_rows, j + 1)
     return (1 - s) * d0 + s * d1
