@@ -72,3 +72,26 @@ def test_sharded_packet_traversal_matches_single(key):
         assert np.isfinite(a).all()
     finally:
         traverse8._INTERPRET = prev_interpret
+
+
+@pytest.mark.slow
+def test_sharded_render_driver_bvh8(key):
+    """The full render() driver under a mesh: fused _pass_program with
+    shard_map'd packet traversal inside (r5). Film must match the
+    unsharded driver bit-for-bit (same keys, traversal exact)."""
+    from bsdf_diffusion_sampling_tpu.render import traverse8
+    from bsdf_diffusion_sampling_tpu.render.integrator import render
+
+    prev_interpret = traverse8._INTERPRET
+    traverse8._INTERPRET = True
+    try:
+        scene = load_scene(SCENE, width=16, height=16)
+        mb = measured_matball(load_measured(BSDF))
+        mesh = make_mesh(8)
+        img_s = render(scene, mb, seed=5, spp=8, spp_chunk=4, max_depth=2,
+                       mesh=mesh)
+        img_1 = render(scene, mb, seed=5, spp=8, spp_chunk=4, max_depth=2)
+        np.testing.assert_array_equal(img_s, img_1)
+        assert np.isfinite(img_s).all() and img_s.mean() > 0.01
+    finally:
+        traverse8._INTERPRET = prev_interpret
