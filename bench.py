@@ -198,6 +198,9 @@ def main() -> None:
     # production kernel's remote compile hangs past 9 minutes on the
     # current Mosaic (r3 saw SIGABRT on the same dataflow) — default 1
     # until the toolchain can schedule it.
+    # r5 retry (same image): tpu_compile_helper subprocess dies with
+    # SIGABRT (isolated now — the worker survives the failed compile).
+    # Still toolchain-blocked; the code stays one env var away.
     interleave = int(os.environ.get("BENCH_INTERLEAVE", "1"))
 
     if use_xla:
