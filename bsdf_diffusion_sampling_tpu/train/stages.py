@@ -144,7 +144,7 @@ def make_rectify_pairgen(domain: str, cfg: ModelConfig, T: int,
 
     @partial(jax.jit, static_argnames=("n_wi", "n_per_wi"))
     def pairgen(teacher_params, base_params, key, n_wi: int, n_per_wi: int):
-        k_wi, k_x0, k_perm = jax.random.split(key, 3)
+        k_wi, k_x0 = jax.random.split(key)
         if domain == "disk":
             wi = stratified_disk(k_wi, n_wi)
         else:
@@ -158,18 +158,32 @@ def make_rectify_pairgen(domain: str, cfg: ModelConfig, T: int,
                                         cond, T, with_jac=False)
         else:
             x1 = ode_sample_only(domain, teacher_params, x0, cond, T)
-        perm = jax.random.permutation(k_perm, omega_i.shape[0])
-        return x0[perm], x1[perm], omega_i[perm]
+        # NOTE: pairs return UNSHUFFLED (wi-block order). The reference
+        # shuffles the pairs so its position-linspace alpha decorrelates
+        # from the wi blocks (`disk_domain_sampling.py:117,124`); the
+        # gradient is a symmetric mean over pairs, so shuffling pairs is
+        # EXACTLY equivalent to randomly permuting the alpha assignment —
+        # which the rectify step does with one permutation instead of
+        # three 4.19M-row 6-column gathers (~120 ms/iteration, 16% of
+        # the stage, measured r5 device trace).
+        return x0, x1, omega_i
 
     return pairgen
 
 
 def make_rectify_step(domain: str, cfg: ModelConfig, tx: optax.GradientTransformation):
     """Retrain the student on straightened (x0, x1) pairs
-    (`disk_domain_sampling.py:118-131`)."""
+    (`disk_domain_sampling.py:118-131`). `key` randomizes the pair->alpha
+    assignment: alpha_i = perm_i / (n-1) has exactly the distribution of
+    the reference's position-linspace over SHUFFLED pairs (see the
+    pairgen note), for the cost of one permutation."""
 
-    def step(state: TrainState, x0, x1, omega_i):
-        alpha = linspace_alpha(x0.shape[0])
+    def step(state: TrainState, x0, x1, omega_i, key):
+        n = x0.shape[0]
+        alpha = (
+            jax.random.permutation(key, n).astype(jnp.float32)
+            / max(n - 1, 1)
+        ).reshape(-1, 1)
         cond = encode_condition(omega_i, cfg)
         loss, grads = jax.value_and_grad(
             lambda p: flow_matching_mse(domain, p, x0, x1, alpha, cond)
@@ -334,7 +348,7 @@ def train_material(
         k_pairs, k_step = jax.random.split(k)
         x0, x1, wi = pairgen(teacher_params, base_params, k_pairs,
                              n_wi, train_cfg.num_samples_rectify)
-        return r_step(s, x0, x1, wi)
+        return r_step(s, x0, x1, wi, k_step)
 
     r_state = run_stage(
         name=f"rectify/{domain}", mesh=mesh, state=r_state,
