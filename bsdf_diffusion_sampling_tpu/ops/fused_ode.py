@@ -192,6 +192,7 @@ def _fused_ode_kernel(
     with_jac: bool,
     mxu_dtype: str = "bfloat16",
     compact: bool = False,
+    interleave: int = 1,
 ):
     mxu = jnp.dtype(mxu_dtype)
     tile = s_ref.shape[0]
@@ -257,7 +258,61 @@ def _fused_ode_kernel(
         s = s + sign * h * v
         return s, tang
 
-    if T <= _UNROLL_T:
+    # Primal-only long transports (rectify pair generation: T=128/256,
+    # with_jac=False) are the most VPU-exposed shape: ONE matmul stream
+    # against the full silu epilogue, MXU mostly idle. Splitting the tile
+    # into `interleave` independent sublane chunks and emitting each
+    # layer's matmuls for ALL chunks before their activations would let
+    # Mosaic overlap chunk B's matmul with chunk A's VPU epilogue INSIDE
+    # the fori_loop body. r5 status: bit-exact vs the XLA oracle in
+    # interpret mode, but the production compile SIGABRTs in the same
+    # compiler pass as the unrolled BENCH_INTERLEAVE variant — kept
+    # behind the explicit `interleave` argument for the next toolchain.
+    if (
+        not with_jac
+        and T > _UNROLL_T
+        and interleave > 1
+        and tile % (8 * interleave) == 0
+    ):
+        C = interleave
+        hr = tile // C
+        col_h = col[:hr]
+        conds = [cond[c * hr : (c + 1) * hr] for c in range(C)]
+
+        def enc_chunk(s_c, alpha, cond_c):
+            if domain == "disk":
+                x_part = jnp.where(col_h < 2, s_c, 0.0)
+                a_col = jnp.where(col_h == 2, alpha, 0.0)
+                return x_part + a_col + cond_c
+            theta = jnp.where(col_h == 0, s_c, 0.0)
+            sin_p = jnp.where(col_h == 1, jnp.sin(s_c), 0.0)
+            cos_p = jnp.where(col_h == 1, jnp.cos(s_c), 0.0)
+            x_part = theta + sin_p + pltpu.roll(cos_p, shift=1, axis=1)
+            a_col = jnp.where(col_h == 3, alpha, 0.0)
+            return x_part + a_col + cond_c
+
+        prec = _mxu_precision(mxu)
+
+        def body_multi(t, ss):
+            tt = t.astype(f32)
+            alpha = (1.0 - tt * h) if reverse else (tt * h)
+            xs = [enc_chunk(ss[c], alpha, conds[c]) for c in range(C)]
+            for l, w in enumerate(ws):
+                zs = [
+                    jnp.dot(x, w, preferred_element_type=jnp.float32,
+                            precision=prec)
+                    for x in xs
+                ]
+                if l + 1 < n_layers:
+                    xs = [z * _sigmoid(z) for z in zs]
+                else:
+                    xs = zs
+            return tuple(ss[c] + sign * h * xs[c] for c in range(C))
+
+        ss0 = tuple(s0[c * hr : (c + 1) * hr] for c in range(C))
+        ss = jax.lax.fori_loop(0, T, body_multi, ss0)
+        s_fin, tang_fin = jnp.concatenate(ss, axis=0), tang0
+    elif T <= _UNROLL_T:
         s_fin, tang_fin = s0, tang0
         for t in range(T):
             s_fin, tang_fin = body(t, (s_fin, tang_fin))
@@ -290,11 +345,11 @@ def _unpack_rows(rows: jnp.ndarray, n: int, block: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("domain", "T", "n_layers", "block", "reverse", "with_jac",
-                     "tile", "mxu_dtype", "compact"),
+                     "tile", "mxu_dtype", "compact", "interleave"),
 )
 def _fused_call(
     s_packed, c_packed, w_packed, *, domain, T, n_layers, block, reverse,
-    with_jac, tile, mxu_dtype="bfloat16", compact=False
+    with_jac, tile, mxu_dtype="bfloat16", compact=False, interleave=1
 ):
     n_rows = s_packed.shape[0]
     grid = (n_rows // tile,)
@@ -308,6 +363,7 @@ def _fused_call(
         with_jac=with_jac,
         mxu_dtype=mxu_dtype,
         compact=compact,
+        interleave=interleave,
     )
     rpo = (LANES // (LANES // block * _OUT_VALS)) if compact else 1
     streams = 3 if with_jac else 1
@@ -1132,6 +1188,7 @@ def fused_ode_transport(
     with_jac: bool = True,
     tile: int = 256,
     mxu_dtype: str = "bfloat16",
+    interleave: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the fused T-step Euler transport.
 
@@ -1150,6 +1207,13 @@ def fused_ode_transport(
     c_packed = _pack_rows(cond_enc.astype(jnp.float32), cond_off, block, n_pad)
     w_packed = pack_weights(v_params, block)
 
+    if interleave is None:
+        # r5: the scan-body multi-chunk variant ALSO dies in Mosaic's
+        # compile helper (SIGABRT, same as the unrolled BENCH_INTERLEAVE
+        # dataflow) — bit-exact in interpret mode, blocked on the
+        # toolchain. Default stays single-chain; flip to 2 when a
+        # toolchain bump can schedule it.
+        interleave = 1
     out = _fused_call(
         s_packed,
         c_packed,
@@ -1163,6 +1227,7 @@ def fused_ode_transport(
         tile=tile,
         mxu_dtype=mxu_dtype,
         compact=True,
+        interleave=interleave,
     )
     rows = out.reshape(-1, _OUT_VALS)[:n]
     return rows[:, 0:2], rows[:, 2]
