@@ -1186,7 +1186,7 @@ def fused_ode_transport(
     T: int,
     reverse: bool = False,
     with_jac: bool = True,
-    tile: int = 256,
+    tile: int | None = None,
     mxu_dtype: str = "bfloat16",
     interleave: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -1197,6 +1197,13 @@ def fused_ode_transport(
     Semantics identical to `ode/flow.py` (`mlp_brdf_sampling.py:17-51` /
     `:69-103`); that XLA path is the parity oracle in tests.
     """
+    if tile is None:
+        # the fori_loop scan pays a large per-trip overhead per grid
+        # step: at T=256 a (256,128) tile measured 657 ms/1M samples vs
+        # 120 ms at (1024,128) — 5.5x — while short unrolled transports
+        # are insensitive (r5 sweep, /v5e). Amortize long scans over a
+        # tall tile.
+        tile = 1024 if T > _UNROLL_T else 256
     n = x0.shape[0]
     block = _block_size(v_params)
     pack = LANES // block
@@ -1240,7 +1247,7 @@ def make_fused_transport(
     T: int,
     reverse: bool = False,
     with_jac: bool = True,
-    tile: int = 256,
+    tile: int | None = None,
     mxu_dtype: str = "bfloat16",
 ):
     """Prepacked `fused_ode_transport` closure: weights + condition packed
@@ -1248,6 +1255,8 @@ def make_fused_transport(
     (state pack + pallas + unpack in a single program) and zero eager ops —
     use when the same wavefront's conditions are transported repeatedly
     (rectify pair generation, spherical sample/pdf paths, benchmarks)."""
+    if tile is None:
+        tile = 1024 if T > _UNROLL_T else 256  # see fused_ode_transport
     n = cond_enc.shape[0]
     block = _block_size(v_params)
     pack = LANES // block
