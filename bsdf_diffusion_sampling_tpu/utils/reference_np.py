@@ -134,3 +134,73 @@ def eval_roughconductor_np(
     ci, co = wi[..., 2], wo[..., 2]
     val = d * g * f / np.maximum(4.0 * ci, 1e-10)  # includes the cos_o
     return np.where((ci > 0) & (co > 0), val, 0.0)
+
+
+# --------------------------- external-stack MCMC redundancy (P23) ----
+
+
+def metropolis_ggx_disk_np(
+    rng: np.random.Generator,
+    omega_i: np.ndarray,
+    roughness: float,
+    n_steps: int = 2000,
+    n_chains: int = 64,
+    burn_in: int = 500,
+    f0: float = 0.04,
+) -> tuple[np.ndarray, float]:
+    """Adaptive random-walk Metropolis over omega_o in the unit disk at a
+    fixed omega_i, targeting the GGX shading density.
+
+    The reference cross-validates its emcee data pipeline by re-expressing
+    the same density in unrelated probabilistic stacks and sampling it with
+    their own MCMC machinery — Stan/NUTS (`/root/reference/rendering/utils/
+    analytical_brdf_stan.py:1-169`) and PyMC/theano
+    (`analytical_brdf_pymc.py:1-105`). This is that redundancy without the
+    heavyweight dependencies: a self-contained numpy sampler that shares NO
+    code with the device stretch-move ensemble (data/mcmc.py) — different
+    algorithm (symmetric random walk vs affine-invariant stretch), different
+    RNG (numpy Generator vs jax.random), different density implementation
+    (ggx_shading_np vs bsdf.ggx_shading_disk). Agreement of the two sample
+    populations with each other and with the numerically normalized
+    `ggx_pdf_grid_np` validates all three independently.
+
+    Runs `n_chains` independent chains in lockstep (vectorized over chains,
+    Python loop over steps); proposal scale adapts during burn-in toward
+    ~35% acceptance by Robbins-Monro on the log-scale. Out-of-disk
+    proposals have density zero and are rejected, which is exactly the
+    support guard of the reference's lnprob (`emcee_sampling.py:11-22`).
+
+    Returns (samples (n_chains*(n_steps-burn_in), 2), acceptance_rate).
+    """
+    li = np.broadcast_to(disk_to_cart_np(np.asarray(omega_i, np.float64)), (n_chains, 3))
+
+    def dens(wo_disk):
+        inside = (wo_disk**2).sum(-1) < 1.0
+        safe = np.where(inside[:, None], wo_disk, 0.0)
+        v = ggx_shading_np(li, disk_to_cart_np(safe), roughness, f0)
+        return np.where(inside, np.maximum(v, 0.0), 0.0)
+
+    # start chains in the disk, biased toward the specular direction
+    x = -0.5 * np.asarray(omega_i, np.float64) + 0.05 * rng.standard_normal(
+        (n_chains, 2)
+    )
+    p = dens(x)
+    log_step = np.log(0.15)
+    acc_count = 0
+    kept = []
+    for it in range(n_steps):
+        prop = x + np.exp(log_step) * rng.standard_normal((n_chains, 2))
+        p_prop = dens(prop)
+        u = rng.random(n_chains)
+        accept = u * p < p_prop  # p>0 always after init; 0-density rejects
+        x = np.where(accept[:, None], prop, x)
+        p = np.where(accept, p_prop, p)
+        rate = accept.mean()
+        if it < burn_in:
+            # Robbins-Monro toward 35% acceptance (optimal-ish for RW in 2D)
+            log_step += (rate - 0.35) / np.sqrt(it + 1.0)
+        else:
+            kept.append(x.copy())
+            acc_count += accept.sum()
+    samples = np.concatenate(kept, axis=0)
+    return samples, acc_count / (n_chains * (n_steps - burn_in))
