@@ -44,11 +44,16 @@ MATERIAL = "chm_mint_rgb"
 
 
 def _render_timed(scene, mb, *, seed, spp, spp_chunk, max_depth, max_rays):
-    """(image, seconds). One warm-up pass at spp_chunk compiles every
-    program; the timed run then measures steady-state dispatch+compute."""
+    """(image, seconds). The warm-up uses the SAME spp as the timed run:
+    render() batches units into `_pass_program` chunks whose unit count C
+    is a static scan length, so a warm-up at a smaller spp compiles a
+    different-C program and the timed region then eats a full Mosaic
+    recompile (measured: the --quick gt mode read 0.023 Mray-samples/s —
+    ~42 s of compile in a ~4 s render — because spp=4 warmed up C=2 while
+    spp=16 runs one C=8 chunk)."""
     from bsdf_diffusion_sampling_tpu.render.integrator import render
 
-    render(scene, mb, seed=seed + 99, spp=spp_chunk, spp_chunk=spp_chunk,
+    render(scene, mb, seed=seed + 99, spp=spp, spp_chunk=spp_chunk,
            max_depth=max_depth, max_rays_per_pass=max_rays)  # warm-up
     t0 = time.perf_counter()
     img = render(scene, mb, seed=seed, spp=spp, spp_chunk=spp_chunk,
