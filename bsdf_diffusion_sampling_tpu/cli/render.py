@@ -164,6 +164,11 @@ def build_matball(ball: dict, args, substitutions: list | None = None):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from bsdf_diffusion_sampling_tpu.core.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     from bsdf_diffusion_sampling_tpu.render.integrator import render
     from bsdf_diffusion_sampling_tpu.render.scene import load_scene
 

@@ -121,6 +121,12 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     import jax
 
+    from bsdf_diffusion_sampling_tpu.core.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
     from bsdf_diffusion_sampling_tpu.core.config import ModelConfig, TrainConfig
     from bsdf_diffusion_sampling_tpu.data import generate_brdf_dataset
     from bsdf_diffusion_sampling_tpu.parallel import make_mesh

@@ -152,3 +152,23 @@ def test_toy_2d_flow_pipeline(key):
     target_pdf = pdf_grid_2d(lambda p: target.pdf(p), lo=(-0.6, 0.0),
                              hi=(1.0, 1.0), bins=24)
     assert kl_divergence_grid(target_pdf, grid_pdf) < 0.2
+
+
+def test_compile_cache_env_contract(tmp_path, monkeypatch):
+    """BSDF_TPU_COMPILE_CACHE: empty disables, a path redirects, and an
+    explicit argument wins; the directory is created."""
+    from bsdf_diffusion_sampling_tpu.core.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    monkeypatch.setenv("BSDF_TPU_COMPILE_CACHE", "")
+    assert enable_compilation_cache() is None
+
+    env_dir = tmp_path / "envcache"
+    monkeypatch.setenv("BSDF_TPU_COMPILE_CACHE", str(env_dir))
+    assert enable_compilation_cache() == str(env_dir)
+    assert env_dir.is_dir()
+
+    arg_dir = tmp_path / "argcache"
+    assert enable_compilation_cache(str(arg_dir)) == str(arg_dir)
+    assert arg_dir.is_dir()
